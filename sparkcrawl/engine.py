@@ -1,0 +1,439 @@
+"""The crawl engine: an iterative DataFrame fixpoint loop with atomic rounds.
+
+Replaces the whole StormLite runtime (LocalCluster + spout/bolt topology +
+quiescence detection, stormlite/LocalCluster.java, XPathCrawler.java:231-273):
+each ROUND is one declarative DataFrame job over the frontier —
+
+    frontier --delay gate--> --per-host cap select--> --robots check-->
+    --join pages (the synthetic web)--> --extract (Arrow UDF)-->
+    --content dedup--> --lang filter--> --explode links--> --canonicalize-->
+    --admission filters--> --anti-join seen (Bloom-prefiltered)-->
+    --assign seq--> frontier' / seen+ / crawled+ / trace+ / metrics+
+
+and the loop runs rounds to fixpoint (frontier empty) or budget. Every round
+commits atomically via SnapshotStore, so a killed run resumes with IDENTICAL
+ordering (tested) — stronger than the reference's URLDisk.txt line-count
+resume (XPathCrawler.java:85-98).
+
+Determinism contract (SURVEY §7.2): nothing depends on partition iteration
+order; the only order source is ``seq`` (dense admission rank, assigned by a
+range-partitioned two-phase global rank, never a single-partition window);
+all tie-breaks are (parent_seq, link_idx); all UDFs pure.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from sparkcrawl import schema as S
+from sparkcrawl import politeness, robots, seen as seenmod
+from sparkcrawl.filters import FilterConfig, admission_predicate
+from sparkcrawl.extract import with_extracted
+from sparkcrawl.tables import SnapshotStore
+from sparkcrawl.urlnorm import canonicalize_udf, with_url_parts
+
+ROUND_SHIFT = 32  # seq = (round << 32) | dense rank within round
+
+
+@dataclass
+class CrawlConfig:
+    max_doc_size: int = 5_000_000  # worker_0.json: 5 MB
+    max_file_num: int = 1_000_000_000  # crawl budget (docs)
+    max_rounds: int = 1_000_000
+    use_bloom: bool = True
+    filters: FilterConfig = field(default_factory=FilterConfig)
+    agent: str = robots.USER_AGENT
+
+
+# ---------------------------------------------------------------------------
+
+
+def dense_seq(df: DataFrame, order_cols: list[str], base: int) -> DataFrame:
+    """Add ``seq`` = base + global dense rank of (order_cols) — scale-safe.
+
+    A plain ``row_number() OVER (ORDER BY ...)`` funnels ALL rows through one
+    partition. Instead: range-repartition on the key (ordered, disjoint
+    ranges), rank within each partition, then shift by the cumulative counts
+    of the preceding partitions (a tiny driver-side prefix sum). The result
+    is identical to the global rank for any partitioning, so sampling
+    nondeterminism in repartitionByRange cannot affect values.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=True)  # pin partitioning between the 2 jobs
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    # offsets as a literal map expression — codegen'd, no Python per row
+    if offsets:
+        kv = []
+        for pid, ofs in offsets.items():
+            kv.extend([F.lit(pid), F.lit(ofs)])
+        off = F.coalesce(F.create_map(*kv)[F.col("_pid")], F.lit(0))
+    else:
+        off = F.lit(0)
+    w = W.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        d.withColumn("seq", F.lit(base) + off + F.row_number().over(w))
+        .drop("_pid")
+    )
+
+
+def _empty(spark: SparkSession, schema) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+# ---------------------------------------------------------------------------
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        pages: DataFrame,
+        page_meta: DataFrame | None,
+        robots_df: DataFrame | None,
+        cfg: CrawlConfig = CrawlConfig(),
+    ):
+        self.spark = spark
+        self.store = store
+        self.cfg = cfg
+        self.pages = pages
+        self.page_meta = page_meta if page_meta is not None else _empty(
+            spark, S.PAGE_META
+        )
+        rb = robots_df if robots_df is not None else _empty(spark, S.ROBOTS)
+        # effective robots block per host — tiny, computed once, broadcast.
+        self.host_rules = robots.effective_rules(rb, cfg.agent).cache()
+        self.host_rules.count()
+
+    # ---- bootstrap ----
+
+    def init_frontier(self, seeds: DataFrame) -> None:
+        """Seeds -> round-0 frontier + seen + host_priority (atomic commit).
+
+        Reference: seeds enqueue directly, bypassing filters
+        (XPathCrawler.java:59-100); priority classes attach to the seed's
+        host (URLFrontier.java:32-39 hard-codes host sets; we derive them
+        from the seeds table per FIXTURES.md §3).
+        """
+        if self.store.committed_round >= 0:
+            return  # resuming — state already committed
+        s = seeds.withColumn(
+            "url_norm", canonicalize_udf(F.lit(None), F.col("url"))
+        ).filter(F.col("url_norm").isNotNull())
+        s = with_url_parts(s).withColumn("depth", F.lit(0))
+        # dedup keep-first: per url_norm the lexicographically smallest raw
+        # url; seed seq = rank of raw url (deterministic, partition-free)
+        w = W.partitionBy("url_norm").orderBy("url")
+        s = s.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn")
+        s = dense_seq(s, ["url"], base=0)
+        frontier = s.select(
+            "url_norm", "host", "path", "depth", "seq",
+            F.lit(0).alias("round_added"),
+        )
+        seen = s.select(
+            "url_norm",
+            F.xxhash64("url_norm").alias("url_hash"),
+            F.lit(0).alias("round_added"),
+        )
+        host_priority = s.groupBy("host").agg(
+            F.min("priority").alias("priority")
+        )
+        self.store.stage_overwrite("frontier", frontier)
+        self.store.stage_append("seen", seen)
+        self.store.stage_overwrite("host_priority", host_priority)
+        self.store.stage_overwrite("host_clock", _empty(self.spark, S.HOST_CLOCK))
+        self.store.commit({"round": 0, "n_crawled": 0})
+
+    # ---- one round ----
+
+    def run_round(self, round_no: int) -> dict:
+        """Execute round ``round_no`` (1-based) and commit atomically.
+        Returns the metrics dict (counters for the driver loop)."""
+        t0 = time.time()
+        spark, cfg, store = self.spark, self.cfg, self.store
+        frontier = store.read(spark, "frontier", S.FRONTIER)
+        seen = store.read(spark, "seen", S.SEEN)
+        content_seen = store.read(spark, "content_seen", S.CONTENT_SEEN)
+        host_clock = store.read(spark, "host_clock", S.HOST_CLOCK)
+        host_priority = store.read(
+            spark, "host_priority",
+            "host string, priority int",
+        ) if store.exists("host_priority") else _empty(
+            spark, "host string, priority int"
+        )
+
+        # 1-2. politeness: delay gate, then per-host run-cap selection
+        eligible = politeness.eligible_hosts_filter(
+            frontier, self.host_rules, host_clock, round_no
+        )
+        selected = politeness.select_per_host(eligible, host_priority).cache()
+        n_selected = selected.count()
+        if n_selected == 0:
+            # all frontier rows are delay-deferred (or frontier empty):
+            # commit an empty round so the clock advances.
+            store.stage_append(
+                "metrics",
+                spark.createDataFrame(
+                    [(round_no, 0, 0, 0, 0, 0, 0, 0,
+                      int((time.time() - t0) * 1000))],
+                    S.METRICS,
+                ),
+            )
+            n_frontier = frontier.count()
+            store.commit(
+                {"round": round_no, "n_crawled": self._crawled_total(),
+                 "n_frontier": n_frontier}
+            )
+            return {"n_selected": 0, "n_admitted": 0, "n_fetched": 0,
+                    "n_frontier": n_frontier}
+
+        leftover = frontier.join(
+            selected.select("url_norm"), "url_norm", "left_anti"
+        )
+
+        # 3. robots disallow (broadcast join + JVM exists())
+        sel = robots.join_rules(selected, self.host_rules)
+        sel = sel.withColumn("_denied", robots.denied_predicate()).drop(
+            "disallow_prefixes", "crawl_delay"
+        )
+
+        # 4. "fetch": join the synthetic web (pages + protocol sidecar).
+        # pages.url is canonical, so this is an equi-join on url_norm; at
+        # scale both sides are bucketed by url hash (storage-partitioned
+        # join under Iceberg); here AQE picks the strategy.
+        pg = self.pages.select(
+            F.col("url").alias("url_norm"),
+            "warc_ts", "html",
+            F.col("lang").alias("page_lang"),
+        )
+        meta = self.page_meta.select(
+            F.col("url").alias("url_norm"),
+            "http_status", "redirect_to", "content_type", "content_length",
+        )
+        fx = sel.join(pg, "url_norm", "left").join(meta, "url_norm", "left")
+        has_page = F.col("html").isNotNull() | F.col("http_status").isNotNull()
+        status = F.coalesce(F.col("http_status"), F.lit(200))
+        ctype = F.coalesce(F.col("content_type"), F.lit("text/html"))
+        clen = F.coalesce(
+            F.col("content_length"), F.length(F.col("html")), F.lit(0)
+        )
+        is_html = ctype.contains("text/html") | F.col("url_norm").endswith(
+            ".html"
+        )  # F6, CrawlerBolt.java:297-300
+        pre_action = (
+            F.when(F.col("_denied"), F.lit("robots_denied"))
+            .when(~has_page, F.lit("not_found"))
+            .when((status >= 300) & (status < 400), F.lit("redirect"))
+            .when(status == 404, F.lit("not_found"))
+            .when(status >= 400, F.lit("server_error"))
+            .when(~is_html, F.lit("bad_type"))
+            .when(clen > cfg.max_doc_size, F.lit("too_big"))
+            .otherwise(F.lit("get"))
+        )
+        fx = fx.withColumn("_pre", pre_action).cache()
+
+        # 5. GET rows -> extract + content dedup + lang filter.
+        got = fx.filter(F.col("_pre") == "get")
+        # extraction partitions by url hash (uniform), never by host — a
+        # mega-host cannot skew this stage (SURVEY §4 custom-work item 3).
+        got = got.repartition(F.xxhash64("url_norm"))
+        got = with_extracted(got).withColumn(
+            "content_hash",
+            F.xxhash64(F.coalesce(F.col("html"), F.lit(b""))),
+        )
+        dup_w = W.partitionBy("content_hash").orderBy("seq")
+        got = got.withColumn("_dup_rn", F.row_number().over(dup_w))
+        got = got.join(
+            content_seen.select("content_hash").withColumn(
+                "_in_cs", F.lit(True)
+            ),
+            "content_hash",
+            "left",
+        )
+        lang_ok = (F.col("ex_lang") == "") | (
+            F.col("ex_lang") == cfg.filters.lang_prefix
+        )  # P4: <html lang> attr check, DocumentParserBolt.java:182-194
+        action = (
+            F.when(
+                F.col("_in_cs").isNotNull() | (F.col("_dup_rn") > 1),
+                F.lit("dup_content"),
+            )
+            .when(~lang_ok, F.lit("not_html_lang"))
+            .otherwise(F.lit("fetched"))
+        )
+        got = got.withColumn("action", action).cache()
+
+        fetched = got.filter(F.col("action") == "fetched").cache()
+
+        # 6. candidate links: outlinks of stored pages + redirect targets
+        links = fetched.select(
+            F.col("seq").alias("parent_seq"),
+            F.col("url_norm").alias("base_url"),
+            F.col("depth").alias("parent_depth"),
+            F.posexplode_outer("ex_links").alias("link_idx", "href"),
+        ).filter(F.col("href").isNotNull())
+        redirects = fx.filter(F.col("_pre") == "redirect").select(
+            F.col("seq").alias("parent_seq"),
+            F.col("url_norm").alias("base_url"),
+            F.col("depth").alias("parent_depth"),
+            F.lit(-1).alias("link_idx"),
+            F.col("redirect_to").alias("href"),
+        ).filter(F.col("href").isNotNull())
+        cand = links.unionByName(redirects)
+
+        # 7. canonicalize + admission filters (D1-D3) + within-batch dedup
+        cand = cand.withColumn(
+            "url_norm", canonicalize_udf(F.col("base_url"), F.col("href"))
+        ).filter(F.col("url_norm").isNotNull())
+        cand = with_url_parts(cand)
+        cand = cand.filter(admission_predicate(cfg.filters))
+        first_w = W.partitionBy("url_norm").orderBy("parent_seq", "link_idx")
+        cand = (
+            cand.withColumn("_rn", F.row_number().over(first_w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        # 8. seen anti-join (Bloom-prefiltered) + deterministic seq
+        new_rows = seenmod.anti_join_seen(cand, seen, use_bloom=cfg.use_bloom)
+        new_rows = dense_seq(
+            new_rows, ["parent_seq", "link_idx"], base=round_no << ROUND_SHIFT
+        ).cache()
+
+        # ---- stage writes ----
+        new_frontier_rows = new_rows.select(
+            "url_norm", "host", "path",
+            (F.col("parent_depth") + 1).alias("depth"),
+            "seq", F.lit(round_no).alias("round_added"),
+        )
+        store.stage_overwrite(
+            "frontier", leftover.unionByName(new_frontier_rows)
+        )
+        store.stage_append(
+            "seen",
+            new_rows.select(
+                "url_norm",
+                F.xxhash64("url_norm").alias("url_hash"),
+                F.lit(round_no).alias("round_added"),
+            ),
+        )
+        # content_seen gains the hash of every dedup WINNER not already there
+        # (the reference's get-or-put inserts on first sight even when the
+        # lang check later drops the doc — DocumentParserBolt.java:155-194).
+        winners = got.filter(
+            (F.col("_dup_rn") == 1) & F.col("_in_cs").isNull()
+        )
+        store.stage_append(
+            "content_seen",
+            winners.select(
+                "content_hash", F.col("url_norm").alias("first_url")
+            ),
+        )
+        store.stage_append(
+            "crawled",
+            fetched.select(
+                "url_norm", "host", F.lit(round_no).alias("round"),
+                "content_hash", F.col("ex_text").alias("text"),
+                F.col("ex_lang").alias("lang"), "warc_ts",
+            ),
+        )
+        # host clock: a GET happened for actions {fetched,dup_content,
+        # not_html_lang} (lastCrawled set at GET — XPathCrawler.java:162-164)
+        got_hosts = got.select("host").distinct().withColumn(
+            "last_round", F.lit(round_no)
+        )
+        new_clock = host_clock.join(
+            got_hosts.select("host"), "host", "left_anti"
+        ).unionByName(got_hosts)
+        store.stage_overwrite("host_clock", new_clock)
+
+        # trace: every selected row gets exactly one action
+        traced = (
+            fx.filter(F.col("_pre") != "get")
+            .select("seq", "url_norm", "host", F.col("_pre").alias("action"))
+            .unionByName(got.select("seq", "url_norm", "host", "action"))
+        )
+        ord_w = W.partitionBy(F.lit(1)).orderBy("seq")  # per-round, small set
+        trace = traced.select(
+            F.lit(round_no).alias("round"),
+            F.row_number().over(ord_w).alias("ord"),
+            "url_norm", "host", "action",
+        )
+        store.stage_append("trace", trace)
+
+        # metrics
+        n_fetched = fetched.count()
+        n_links = cand.count()
+        n_admitted = new_rows.count()
+        n_dup = got.filter(F.col("action") == "dup_content").count()
+        n_denied = fx.filter(F.col("_pre") == "robots_denied").count()
+        n_get = got.count()
+        wall_ms = int((time.time() - t0) * 1000)
+        store.stage_append(
+            "metrics",
+            spark.createDataFrame(
+                [(round_no, n_selected, n_get, n_fetched, n_links,
+                  n_admitted, n_dup, n_denied, wall_ms)],
+                S.METRICS,
+            ),
+        )
+        n_frontier = leftover.count() + n_admitted
+        total = self._crawled_total() + n_fetched
+        store.commit(
+            {"round": round_no, "n_crawled": total, "n_frontier": n_frontier}
+        )
+        for df in (selected, fx, got, fetched):
+            df.unpersist()
+        return {
+            "n_selected": n_selected, "n_fetched": n_fetched,
+            "n_admitted": n_admitted, "n_frontier": n_frontier,
+            "n_crawled_total": total, "wall_ms": wall_ms,
+        }
+
+    def _crawled_total(self) -> int:
+        return int(self.store.meta.get("n_crawled", 0))
+
+    # ---- the loop ----
+
+    def run(self, seeds: DataFrame | None = None,
+            max_rounds: int | None = None) -> dict:
+        """Crawl to fixpoint/budget. Resumable: if the store already has
+        committed rounds, continues after the last one."""
+        cfg = self.cfg
+        if seeds is not None:
+            self.init_frontier(seeds)
+        budget = max_rounds if max_rounds is not None else cfg.max_rounds
+        r = self.store.committed_round
+        last = {}
+        stall = 0  # consecutive all-deferred rounds (delay clocks pending)
+        while r < budget:
+            if self._crawled_total() >= cfg.max_file_num:
+                break  # D5: maxFileNum stop (CrawlerBolt.java:371-375)
+            frontier = self.store.read(self.spark, "frontier", S.FRONTIER)
+            if frontier.isEmpty():
+                break  # quiescence (URLSpout.java:133-142)
+            r += 1
+            last = self.run_round(r)
+            if last["n_selected"] == 0:
+                stall += 1
+                if stall > 64:  # no delay in fixtures exceeds this
+                    break
+            else:
+                stall = 0
+        return {"rounds": r, **last}

@@ -1,0 +1,111 @@
+"""Per-host politeness: priority run caps + crawl-delay round clocks.
+
+Reference semantics:
+  * URLFrontier.dequeue serves at most cap(host) CONSECUTIVE urls per host,
+    cap = 15 / 10 / 5 for priority class 1 / 2 / 3
+    (URLFrontier.java:20-22,59-138); overflow rotates to the back.
+  * crawl-delay: a host within its delay window is re-enqueued, not fetched
+    (CrawlerBolt.java:439-457).
+
+Batch contract (SURVEY §7.2): a ROUND selects, per delay-eligible host, the
+first cap(host) frontier rows by ``seq``; unselected rows stay in the
+frontier for later rounds. This is the set-semantics analogue of the
+rotate-to-tail loop: same admission set, same per-host service order.
+
+Scale notes:
+  * The naive ``row_number() OVER (PARTITION BY host ORDER BY seq)`` sorts a
+    mega-host's ENTIRE frontier backlog to pick ≤15 rows. We use a two-phase
+    top-k: phase 1 ranks within (host, salt) — 64-way split of each host —
+    keeping ≤cap rows per split; phase 2 ranks the ≤64·cap survivors per
+    host. The mega-host's sort shrinks from O(backlog) to O(64·cap).
+  * cap/priority is a broadcast join (host_priority is ~#hosts rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+CAPS = {1: 15, 2: 10, 3: 5}  # URLFrontier.java:20-22
+DEFAULT_PRIORITY = 3
+SALT_BUCKETS = 64
+
+
+def cap_col(priority_col) -> F.Column:
+    return (
+        F.when(priority_col == 1, F.lit(CAPS[1]))
+        .when(priority_col == 2, F.lit(CAPS[2]))
+        .otherwise(F.lit(CAPS[3]))
+    )
+
+
+def eligible_hosts_filter(
+    frontier: DataFrame,
+    host_rules: DataFrame,
+    host_clock: DataFrame,
+    round_no: int,
+) -> DataFrame:
+    """Drop rows of hosts still inside their crawl-delay window.
+
+    delay is in ROUNDS (1 round == 1 virtual second, SURVEY §2.3 R3):
+    a host fetched in round r with delay d is eligible again at r + d.
+    Hosts with no delay (or never fetched) are always eligible.
+    """
+    f = frontier.join(
+        F.broadcast(host_rules.select("host", "crawl_delay")), "host", "left"
+    ).join(F.broadcast(host_clock), "host", "left")
+    ok = (
+        F.col("crawl_delay").isNull()
+        | F.col("last_round").isNull()
+        | (F.lit(round_no) - F.col("last_round") >= F.col("crawl_delay"))
+    )
+    return f.filter(ok).drop("crawl_delay", "last_round")
+
+
+def select_per_host(frontier: DataFrame, host_priority: DataFrame) -> DataFrame:
+    """Pick the first cap(host) rows by seq per host (two-phase top-k).
+
+    Input must already be delay-filtered. Adds a ``cap`` column en route and
+    drops it. Returns the selected rows with original columns.
+    """
+    f = frontier.join(F.broadcast(host_priority), "host", "left").withColumn(
+        "cap", cap_col(F.coalesce(F.col("priority"), F.lit(DEFAULT_PRIORITY)))
+    )
+    salt = F.pmod(F.xxhash64("url_norm"), F.lit(SALT_BUCKETS))
+    w1 = W.partitionBy("host", salt).orderBy("seq")
+    f = f.withColumn("_rn1", F.row_number().over(w1)).filter(
+        F.col("_rn1") <= F.col("cap")
+    )
+    w2 = W.partitionBy("host").orderBy("seq")
+    f = f.withColumn("_rn2", F.row_number().over(w2)).filter(
+        F.col("_rn2") <= F.col("cap")
+    )
+    return f.drop("_rn1", "_rn2", "cap", "priority")
+
+
+# ---- pure-Python twin (the spec; used by tests/oracle.py) -------------------
+
+
+def select_py(
+    rows: list[dict],
+    priorities: dict[str, int],
+    rules: dict,
+    clock: dict[str, int],
+    round_no: int,
+) -> list[dict]:
+    """Same selection over a list of frontier dicts; returns selected rows
+    sorted by seq."""
+    from sparkcrawl.robots import delay_py
+
+    taken: dict[str, int] = {}
+    out = []
+    for r in sorted(rows, key=lambda r: r["seq"]):
+        host = r["host"]
+        d = delay_py(rules, host)
+        if d is not None and host in clock and round_no - clock[host] < d:
+            continue
+        cap = CAPS.get(priorities.get(host, DEFAULT_PRIORITY), CAPS[3])
+        if taken.get(host, 0) >= cap:
+            continue
+        taken[host] = taken.get(host, 0) + 1
+        out.append(r)
+    return out

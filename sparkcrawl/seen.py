@@ -1,0 +1,115 @@
+"""URL-seen set: exact anti-join with a broadcast Bloom prefilter.
+
+Reference D4 is a transactional get-or-put into BerkeleyDB per URL
+(URLFilterBolt.java:107-120, StorageServer.java:107-134). The batch
+equivalent is a left-anti join of candidate links against the ``seen`` table,
+plus within-batch dropDuplicates. At 10^10-URL scale the anti-join shuffles
+every candidate; the Bloom prefilter (built once per round from the seen
+side, broadcast to executors) short-circuits the common case: a candidate
+whose hash MISSES the filter is definitely new and skips the join entirely;
+only hits (true dups + ~1% false positives) flow into the exact anti-join.
+Exactness therefore never depends on the Bloom (test: on/off identical).
+
+The filter is a numpy bitmap built with k-fold double hashing
+(Kirsch–Mitzenmacher: idx_i = h1 + i*h2 mod m) over the xxhash64 url_hash
+that the seen table already stores; membership is checked in a vectorized
+Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+_K = 7  # hash functions; with m/n = 10 bits/key -> ~0.8% fp
+
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — derives the second hash stream."""
+    with np.errstate(over="ignore"):
+        z = (h + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _indices(hashes: np.ndarray, n_bits: int) -> np.ndarray:
+    """(n,) int64 hashes -> (k, n) bit indices."""
+    h1 = hashes.astype(np.uint64)
+    h2 = _mix(h1) | np.uint64(1)
+    i = np.arange(_K, dtype=np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(n_bits)).astype(
+            np.int64
+        )
+
+
+def build_bloom(seen: DataFrame, n_bits: int) -> bytes:
+    """OR-reduce per-partition bitmaps of the seen table's url_hash column.
+
+    treeAggregate keeps the reduction off a single driver hop at scale.
+    """
+    n_bytes = (n_bits + 7) // 8
+
+    def seq_op(acc: np.ndarray, h: int) -> np.ndarray:
+        idx = _indices(np.array([h], dtype=np.int64), n_bits)
+        np.bitwise_or.at(acc, idx.ravel() >> 3,
+                         (1 << (idx.ravel() & 7)).astype(np.uint8))
+        return acc
+
+    def comb_op(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.bitwise_or(a, b)
+
+    rdd = seen.select("url_hash").rdd.map(lambda r: r[0])
+    bitmap = rdd.treeAggregate(
+        np.zeros(n_bytes, dtype=np.uint8), seq_op, comb_op, depth=2
+    )
+    return bitmap.tobytes()
+
+
+def bloom_hit_udf(bitmap: bytes, n_bits: int):
+    """pandas UDF: url_hash -> bool (True = maybe seen)."""
+    arr = np.frombuffer(bitmap, dtype=np.uint8)
+
+    @pandas_udf("boolean")
+    def _hit(h: pd.Series) -> pd.Series:
+        hv = h.to_numpy(dtype=np.int64)
+        idx = _indices(hv, n_bits)
+        bits = (arr[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=0).astype(bool))
+
+    return _hit
+
+
+def anti_join_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    use_bloom: bool = True,
+    bloom_bits_per_key: int = 10,
+    seen_count: int | None = None,
+) -> DataFrame:
+    """Rows of ``candidates`` whose url_norm is NOT in ``seen`` (exact).
+
+    candidates must carry url_norm; url_hash is derived here (xxhash64,
+    JVM-side) so both the Bloom and the join key stay consistent.
+    """
+    cand = candidates.withColumn("url_hash", F.xxhash64("url_norm"))
+    if not use_bloom:
+        return cand.join(
+            seen.select("url_norm"), "url_norm", "left_anti"
+        ).drop("url_hash")
+
+    n = seen_count if seen_count is not None else seen.count()
+    if n == 0:
+        return cand.drop("url_hash")
+    n_bits = max(1024, n * bloom_bits_per_key)
+    bitmap = build_bloom(seen, n_bits)
+    hit = bloom_hit_udf(bitmap, n_bits)
+    cand = cand.withColumn("_maybe", hit(F.col("url_hash")))
+    definitely_new = cand.filter(~F.col("_maybe"))
+    confirmed_new = cand.filter(F.col("_maybe")).join(
+        seen.select("url_norm"), "url_norm", "left_anti"
+    )
+    return definitely_new.unionByName(confirmed_new).drop("_maybe", "url_hash")

@@ -1,0 +1,51 @@
+"""SparkSession builder tuned for the crawl engine.
+
+Local-mode sandbox settings; on a real cluster the same builder is used with
+``--master yarn/k8s`` via spark-submit --py-files (the engine code never
+assumes local mode). AQE is on so skewed shuffles (mega-hosts) re-plan at
+runtime; Arrow is on because every custom op is a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sparkcrawl",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: local parallelism (defaults to $SPARK_GRAFT_CPUS or '*').
+    shuffle_partitions: defaults to cores (local mode — never 200).
+    """
+    if cores is None:
+        cores_s = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    else:
+        cores_s = str(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cores_s) if cores_s.isdigit() else 32
+
+    b = (
+        SparkSession.builder.master(f"local[{cores_s}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARKCRAWL_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

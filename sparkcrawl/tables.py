@@ -1,0 +1,123 @@
+"""SnapshotStore — atomic multi-table commits on plain Parquet.
+
+Stand-in for an Iceberg catalog (this sandbox has no Iceberg jar). Provides
+exactly the two properties the engine needs from Iceberg:
+
+1. **Atomic round commits**: a round stages Parquet writes for several tables
+   (frontier', seen+, crawled+, trace+, metrics+, host_clock'), then commits
+   them all with one manifest swap. A killed run never observes a half-round.
+2. **Snapshot resume**: restart reads the CURRENT manifest and continues from
+   the last committed round with identical state — the analogue of the
+   reference's URLDisk.txt + BerkeleyDB restart (XPathCrawler.java:85-98),
+   but transactional (the reference's resume is best-effort line counting).
+
+On a real cluster, swap this class for an Iceberg catalog: stage_append ->
+``df.writeTo(tbl).append()``, stage_overwrite -> ``.overwritePartitions()``,
+commit -> Iceberg's own snapshot commit; the engine code is unchanged.
+
+Layout::
+
+    root/
+      _snapshots/v000000N.json   # {"round": r, "tables": {name: [data dirs]}}
+      _snapshots/CURRENT         # text: "v000000N" (atomic os.replace swap)
+      data/<table>/<token>/      # immutable parquet dirs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.snap_dir = os.path.join(root, "_snapshots")
+        self.data_dir = os.path.join(root, "data")
+        os.makedirs(self.snap_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        self._pending: dict[str, dict] = {}
+        self._load_current()
+
+    # ---- snapshot state ----
+
+    def _load_current(self) -> None:
+        cur = os.path.join(self.snap_dir, "CURRENT")
+        if os.path.exists(cur):
+            with open(cur) as f:
+                name = f.read().strip()
+            with open(os.path.join(self.snap_dir, name + ".json")) as f:
+                snap = json.load(f)
+            self.version = snap["version"]
+            self.meta = snap.get("meta", {})
+            self._tables = {k: list(v) for k, v in snap["tables"].items()}
+        else:
+            self.version = 0
+            self.meta = {}
+            self._tables: dict[str, list[str]] = {}
+
+    @property
+    def committed_round(self) -> int:
+        return int(self.meta.get("round", -1))
+
+    # ---- staging ----
+
+    def _write(self, name: str, df: DataFrame) -> str:
+        token = f"r{self.version + 1}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.data_dir, name, token)
+        df.write.mode("error").parquet(path)
+        return path
+
+    def stage_append(self, name: str, df: DataFrame) -> None:
+        path = self._write(name, df)
+        p = self._pending.setdefault(name, {"mode": "append", "dirs": []})
+        p["dirs"].append(path)
+
+    def stage_overwrite(self, name: str, df: DataFrame) -> None:
+        path = self._write(name, df)
+        self._pending[name] = {"mode": "overwrite", "dirs": [path]}
+
+    def commit(self, meta: dict | None = None) -> int:
+        """Fold pending stages into a new manifest; atomic CURRENT swap."""
+        tables = {k: list(v) for k, v in self._tables.items()}
+        for name, p in self._pending.items():
+            if p["mode"] == "overwrite":
+                tables[name] = p["dirs"]
+            else:
+                tables.setdefault(name, []).extend(p["dirs"])
+        self.version += 1
+        self.meta = dict(meta or {})
+        snap = {"version": self.version, "meta": self.meta, "tables": tables}
+        name = f"v{self.version:08d}"
+        with open(os.path.join(self.snap_dir, name + ".json"), "w") as f:
+            json.dump(snap, f)
+        tmp = os.path.join(self.snap_dir, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(name)
+        os.replace(tmp, os.path.join(self.snap_dir, "CURRENT"))  # atomic
+        self._tables = tables
+        self._pending = {}
+        return self.version
+
+    def abort(self) -> None:
+        """Drop staged (uncommitted) data — crash-recovery path."""
+        for p in self._pending.values():
+            for d in p["dirs"]:
+                shutil.rmtree(d, ignore_errors=True)
+        self._pending = {}
+
+    # ---- reads ----
+
+    def read(self, spark: SparkSession, name: str, schema: T.StructType) -> DataFrame:
+        dirs = self._tables.get(name, [])
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*dirs)
+
+    def exists(self, name: str) -> bool:
+        return bool(self._tables.get(name))
