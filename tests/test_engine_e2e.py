@@ -1,0 +1,107 @@
+"""End-to-end equivalence: Spark engine vs pure-Python oracle (SURVEY §5.3).
+
+Asserts on the tiny synthetic web:
+  * identical crawl-order TRACE (round, ord, url, host, action)
+  * identical final URL-seen set
+  * byte-identical extracted text per crawled url
+  * Bloom prefilter on/off changes nothing (exactness)
+  * kill-after-round-k resume reproduces the identical full trace
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import load_inputs
+from oracle import run_oracle
+
+from sparkcrawl import schema as S
+from sparkcrawl.engine import CrawlConfig, CrawlEngine
+from sparkcrawl.filters import FilterConfig
+from sparkcrawl.tables import SnapshotStore
+
+
+def _run_engine(spark, fixtures, fixture_paths, store_dir, use_bloom=True,
+                max_rounds=1000, resume_break=None):
+    pages, meta, robots, seeds = load_inputs(spark, fixture_paths)
+    cfg = CrawlConfig(
+        use_bloom=use_bloom,
+        filters=FilterConfig(banned_hosts=fixtures["banned_hosts"]),
+    )
+    store = SnapshotStore(store_dir)
+    eng = CrawlEngine(spark, store, pages, meta, robots, cfg)
+    if resume_break is not None:
+        eng.run(seeds, max_rounds=resume_break)
+        # simulate a kill: throw the engine away, new store + engine resume
+        store = SnapshotStore(store_dir)
+        eng = CrawlEngine(spark, store, pages, meta, robots, cfg)
+        eng.run(None, max_rounds=max_rounds)
+    else:
+        eng.run(seeds, max_rounds=max_rounds)
+    return store
+
+
+def _collect(spark, store):
+    trace = [
+        (r["round"], r["ord"], r["url_norm"], r["host"], r["action"])
+        for r in store.read(spark, "trace", S.TRACE)
+        .orderBy("round", "ord").collect()
+    ]
+    seen = {r["url_norm"] for r in store.read(spark, "seen", S.SEEN).collect()}
+    crawled = {
+        r["url_norm"]: (r["round"], r["text"])
+        for r in store.read(spark, "crawled", S.CRAWLED).collect()
+    }
+    return trace, seen, crawled
+
+
+@pytest.fixture(scope="module")
+def oracle_result(fixtures):
+    return run_oracle(fixtures)
+
+
+def test_engine_matches_oracle(spark, fixtures, fixture_paths, tmp_path,
+                               oracle_result):
+    store = _run_engine(spark, fixtures, fixture_paths, str(tmp_path / "s"))
+    trace, seen, crawled = _collect(spark, store)
+    assert seen == oracle_result.seen
+    assert trace == oracle_result.trace
+    assert crawled == oracle_result.crawled  # byte-identical text
+
+
+def test_bloom_off_identical(spark, fixtures, fixture_paths, tmp_path,
+                             oracle_result):
+    store = _run_engine(
+        spark, fixtures, fixture_paths, str(tmp_path / "nb"), use_bloom=False
+    )
+    trace, seen, crawled = _collect(spark, store)
+    assert seen == oracle_result.seen
+    assert trace == oracle_result.trace
+
+
+def test_resume_identical_ordering(spark, fixtures, fixture_paths, tmp_path,
+                                   oracle_result):
+    """Kill after round 2, restart from the snapshot, full trace identical."""
+    store = _run_engine(
+        spark, fixtures, fixture_paths, str(tmp_path / "rs"), resume_break=2
+    )
+    trace, seen, crawled = _collect(spark, store)
+    assert trace == oracle_result.trace
+    assert seen == oracle_result.seen
+    assert crawled == oracle_result.crawled
+
+
+def test_budget_stop(spark, fixtures, fixture_paths, tmp_path):
+    """maxFileNum stop (D5): engine and oracle agree under a doc budget."""
+    pages, meta, robots, seeds = load_inputs(spark, fixture_paths)
+    cfg = CrawlConfig(
+        max_file_num=10,
+        filters=FilterConfig(banned_hosts=fixtures["banned_hosts"]),
+    )
+    store = SnapshotStore(str(tmp_path / "b"))
+    eng = CrawlEngine(spark, store, pages, meta, robots, cfg)
+    eng.run(seeds)
+    o = run_oracle(fixtures, max_file_num=10)
+    trace, seen, crawled = _collect(spark, store)
+    assert trace == o.trace
+    assert crawled == o.crawled
