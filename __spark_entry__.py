@@ -1,38 +1,71 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: one crawl-shaped pipeline over sf0.001
+queries()     — operator catalog (SURVEY.md §2 + training-data ops)
+oracle_sql()  — DuckDB-equivalent SQL per query (where SQL-expressible)
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkcrawl.queries import QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: frontier-round pipeline over the sf0.001 documents table —
+    synthesize a URL frontier, apply admission filters (D1-D3), per-host run
+    caps (R4), seen anti-join (D4), content dedup (P1), and aggregate
+    per-host crawl metrics (A1)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from sparkcrawl.filters import FilterConfig, admission_predicate
+    from sparkcrawl.queries import _urls
+    from sparkcrawl.textops import exact_dup_groups
+
+    sf_dir = "/root/testdata/sf0.001"
+    u = _urls(spark, sf_dir)
+    u = u.withColumn("path_depth", F.size(F.split(F.col("path"), "/")))
+    admitted = u.filter(admission_predicate(FilterConfig()))
+    seen = u.filter(F.col("doc_id") % 3 == 0).select("url_norm")
+    new = admitted.join(seen, "url_norm", "left_anti")
+    w = W.partitionBy("host").orderBy("seq")
+    selected = new.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dups = exact_dup_groups(docs)
+    fetched = selected.join(
+        docs.select("doc_id", "text", "lang"), "doc_id"
+    ).withColumn("content_md5", F.md5("text"))
+    return (
+        fetched.join(dups, "content_md5")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.sum(
+                F.when(F.col("keep_doc_id") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_unique_content"),
+            F.min("seq").alias("first_seq"),
+        )
+        .orderBy("host")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ training-data
+    ops). Each callable takes (spark, sf_dir) and returns a DataFrame."""
+    return {name: fn for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query; rows-only ops omitted
+    (simhash/minhash-lsh pair generation, multimodal decode, fp-order-
+    sensitive centroid cosines)."""
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

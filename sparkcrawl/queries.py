@@ -319,12 +319,8 @@ def q_sessionize(spark, sf_dir):
     30-min-gap sessions per user via lag + cumulative sum windows."""
     e = _t(spark, sf_dir, "events")
     wu = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.when(
-        F.col("ts").cast("long")
-        - F.lag(F.col("ts").cast("long")).over(wu)
-        > 1800,
-        1,
-    ).otherwise(0)
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = F.when(epoch - F.lag(epoch).over(wu) > 1800, 1).otherwise(0)
     sess = e.withColumn("new_sess", gap).withColumn(
         "session_idx",
         F.sum("new_sess").over(
@@ -450,19 +446,17 @@ def q_minhash_signatures(spark, sf_dir):
     sig[k] = min over 3-shingles s of md5('k:' || s); flat (doc, k, minhash).
     Empty-shingle docs are excluded (no signature)."""
     d = textops.with_shingles(_t(spark, sf_dir, "documents"), n=3)
+
+    def _salted(k: int):
+        # single-arg lambda (2-arg transform lambdas receive the index)
+        return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
+
     sigs = d.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.array_min(
-                        F.transform(
-                            "shingles",
-                            lambda s, k=k: F.md5(
-                                F.concat(F.lit(f"{k}:"), s)
-                            ),
-                        )
-                    )
+                    F.array_min(F.transform("shingles", _salted(k)))
                     for k in range(8)
                 ]
             )

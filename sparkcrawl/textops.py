@@ -101,14 +101,15 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
     Entirely JVM-side: transform + aggregate over the shingle array.
     """
     d = with_shingles(docs, shingle_n, text_col)
+
+    def _salted(k: int):
+        # single-arg lambda: a 2-arg lambda would receive the element INDEX
+        # as its second argument from F.transform and shadow k
+        return lambda s: F.xxhash64(F.concat(F.lit(f"{k}:"), s))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, k=k: F.xxhash64(F.concat(F.lit(f"{k}:"), s)),
-                )
-            )
+            F.array_min(F.transform(F.col("shingles"), _salted(k)))
             for k in range(n_hashes)
         ]
     )
