@@ -1,0 +1,120 @@
+"""Two-parallelism scaling bench: local[8] vs local[32] (the sandbox
+stand-in for N vs 4N executors, per BASELINE.json north_rule).
+
+Runs the SAME crawl job (fixed rounds over the same synthetic web) at both
+parallelism levels in separate subprocesses (Spark master is fixed per JVM),
+reports throughput at each plus scaling efficiency, and appends the table to
+BENCH/BASELINE.md.
+
+Usage: python bench/scaling.py [size] [rounds]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, os.path.join({repo!r}, "tests"))
+from sparkcrawl.session import get_spark
+from sparkcrawl.engine import CrawlConfig, CrawlEngine
+from sparkcrawl.tables import SnapshotStore
+from sparkcrawl import schema as S
+
+cores = int(sys.argv[1]); size = sys.argv[2]; rounds = int(sys.argv[3])
+web = sys.argv[4]
+spark = get_spark(f"scale-{{cores}}", cores=cores, shuffle_partitions=cores)
+store_dir = f"/tmp/sparkcrawl_scale_{{cores}}_{{os.getpid()}}"
+shutil.rmtree(store_dir, ignore_errors=True)
+store = SnapshotStore(store_dir)
+pages = spark.read.schema(S.PAGES).parquet(f"{{web}}/pages.parquet")
+meta = spark.read.schema(S.PAGE_META).parquet(f"{{web}}/page_meta.parquet")
+robots = spark.read.schema(S.ROBOTS).parquet(f"{{web}}/robots.parquet")
+seeds = spark.read.schema(S.SEEDS).parquet(f"{{web}}/seeds.parquet")
+eng = CrawlEngine(spark, store, pages, meta, robots, CrawlConfig())
+t0 = time.time()
+eng.run(seeds, max_rounds=rounds)
+wall = time.time() - t0
+n_traced = store.read(spark, "trace", S.TRACE).count()
+n_extracted = store.read(spark, "crawled", S.CRAWLED).count()
+shutil.rmtree(store_dir, ignore_errors=True)
+print("RESULT " + json.dumps({{
+    "cores": cores, "wall_s": round(wall, 2),
+    "n_traced": n_traced, "n_extracted": n_extracted,
+    "urls_per_sec": round(n_traced / wall, 2),
+}}))
+"""
+
+
+def run_at(cores: int, size: str, rounds: int, web: str) -> dict:
+    code = WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), size, str(rounds), web],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no RESULT from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def main():
+    size = sys.argv[1] if len(sys.argv) > 1 else "t2"
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from gen_fixtures import generate, write_parquet
+
+    web = f"/tmp/sparkcrawl_benchweb_{size}"
+    if not os.path.exists(os.path.join(web, "_DONE")):
+        shutil.rmtree(web, ignore_errors=True)
+        write_parquet(generate(size, seed=42), web)
+        with open(os.path.join(web, "_DONE"), "w") as f:
+            f.write("ok")
+
+    lo = run_at(8, size, rounds, web)
+    hi = run_at(32, size, rounds, web)
+    assert lo["n_traced"] == hi["n_traced"], "determinism violated across parallelism"
+    assert lo["n_extracted"] == hi["n_extracted"]
+    speedup = lo["wall_s"] / hi["wall_s"]
+    efficiency = speedup / (32 / 8)
+    result = {
+        "size": size, "rounds": rounds,
+        "local8": lo, "local32": hi,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(result))
+
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    stamp = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    with open(md, "a") as f:
+        f.write(
+            f"\n## Scaling run {stamp} (size={size}, rounds={rounds})\n\n"
+            "| parallelism | wall s | URLs traced | extracted | URLs/sec |\n"
+            "|---|---|---|---|---|\n"
+            f"| local[8] | {lo['wall_s']} | {lo['n_traced']} | "
+            f"{lo['n_extracted']} | {lo['urls_per_sec']} |\n"
+            f"| local[32] | {hi['wall_s']} | {hi['n_traced']} | "
+            f"{hi['n_extracted']} | {hi['urls_per_sec']} |\n\n"
+            f"speedup local[8]->local[32]: **{result['speedup']}x**; "
+            f"4x-core scaling efficiency: **{result['scaling_efficiency']}**"
+            f" (north-rule target >= 0.8 over 4x executors; identical traced"
+            f"/extracted counts at both levels = determinism check).\n"
+        )
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""spark-submit entry point.
+
+Usage (cluster or local):
+  spark-submit --py-files sparkcrawl.zip -m sparkcrawl.cli \
+      --web /path/to/web --store /path/to/store \
+      [--max-rounds N] [--max-docs N] [--export /path/corpus] [--resume]
+
+`--web` must contain pages/page_meta/robots/seeds parquet (the synthetic
+Common-Crawl-style tables); `--store` is the snapshot directory. With
+--resume the seeds are ignored and the crawl continues from the last
+committed round.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+from sparkcrawl import schema as S
+from sparkcrawl.engine import CrawlConfig, CrawlEngine
+from sparkcrawl.export import export_corpus
+from sparkcrawl.tables import SnapshotStore
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser("sparkcrawl")
+    ap.add_argument("--web", required=True)
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--max-rounds", type=int, default=1_000_000)
+    ap.add_argument("--max-docs", type=int, default=1_000_000_000)
+    ap.add_argument("--export", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-bloom", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("sparkcrawl").getOrCreate()
+    store = SnapshotStore(args.store)
+    pages = spark.read.schema(S.PAGES).parquet(f"{args.web}/pages.parquet")
+    meta = spark.read.schema(S.PAGE_META).parquet(
+        f"{args.web}/page_meta.parquet"
+    )
+    robots = spark.read.schema(S.ROBOTS).parquet(f"{args.web}/robots.parquet")
+    cfg = CrawlConfig(
+        max_file_num=args.max_docs,
+        max_rounds=args.max_rounds,
+        use_bloom=not args.no_bloom,
+    )
+    eng = CrawlEngine(spark, store, pages, meta, robots, cfg)
+    seeds = None
+    if not args.resume:
+        seeds = spark.read.schema(S.SEEDS).parquet(
+            f"{args.web}/seeds.parquet"
+        )
+    res = eng.run(seeds, max_rounds=args.max_rounds)
+    print(json.dumps(res))
+    if args.export:
+        crawled = store.read(spark, "crawled", S.CRAWLED)
+        export_corpus(crawled, args.export)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,7 @@ class CrawlConfig:
     max_file_num: int = 1_000_000_000  # crawl budget (docs)
     max_rounds: int = 1_000_000
     use_bloom: bool = True
+    bloom_bits: int = 1 << 23  # ~1M urls at 8 bits/key locally
     filters: FilterConfig = field(default_factory=FilterConfig)
     agent: str = robots.USER_AGENT
 
@@ -118,6 +119,38 @@ class CrawlEngine:
         # effective robots block per host — tiny, computed once, broadcast.
         self.host_rules = robots.effective_rules(rb, cfg.agent).cache()
         self.host_rules.count()
+        self._bloom: seenmod.BloomState | None = None
+
+    # ---- incremental seen-Bloom (see seen.BloomState scale notes) ----
+
+    def _bloom_path(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, "bloom.bin")
+
+    def bloom(self) -> seenmod.BloomState:
+        import os
+
+        if self._bloom is not None:
+            return self._bloom
+        path = self._bloom_path()
+        n_bits = int(self.store.meta.get("bloom_bits", self.cfg.bloom_bits))
+        if os.path.exists(path) and self.store.committed_round >= 0:
+            self._bloom = seenmod.BloomState.load(path, n_bits)
+        else:
+            # resume without a bitmap: rebuild once from the seen table
+            self._bloom = seenmod.BloomState(self.cfg.bloom_bits)
+            if self.store.exists("seen"):
+                self._bloom.add_hashes_df(
+                    self.store.read(self.spark, "seen", S.SEEN)
+                )
+        return self._bloom
+
+    def _save_bloom(self) -> None:
+        # a superset bitmap is always safe (extra bits only cost exact-join
+        # checks), so overwriting before the snapshot commit is crash-safe
+        if self._bloom is not None:
+            self._bloom.save(self._bloom_path())
 
     # ---- bootstrap ----
 
@@ -154,11 +187,21 @@ class CrawlEngine:
         host_priority = s.groupBy("host").agg(
             F.min("priority").alias("priority")
         )
+        seen = seen.cache()
+        n_seeds = seen.count()
         self.store.stage_overwrite("frontier", frontier)
         self.store.stage_append("seen", seen)
         self.store.stage_overwrite("host_priority", host_priority)
         self.store.stage_overwrite("host_clock", _empty(self.spark, S.HOST_CLOCK))
-        self.store.commit({"round": 0, "n_crawled": 0})
+        if self.cfg.use_bloom:
+            self._bloom = seenmod.BloomState(self.cfg.bloom_bits)
+            self._bloom.add_hashes_df(seen)
+            self._save_bloom()
+        seen.unpersist()
+        self.store.commit(
+            {"round": 0, "n_crawled": 0, "n_frontier": n_seeds,
+             "n_seen": n_seeds, "bloom_bits": self.cfg.bloom_bits}
+        )
 
     # ---- one round ----
 
@@ -179,6 +222,7 @@ class CrawlEngine:
         )
 
         # 1-2. politeness: delay gate, then per-host run-cap selection
+        prev_meta = dict(store.meta)
         eligible = politeness.eligible_hosts_filter(
             frontier, self.host_rules, host_clock, round_no
         )
@@ -195,13 +239,11 @@ class CrawlEngine:
                     S.METRICS,
                 ),
             )
-            n_frontier = frontier.count()
-            store.commit(
-                {"round": round_no, "n_crawled": self._crawled_total(),
-                 "n_frontier": n_frontier}
-            )
+            meta = dict(prev_meta)
+            meta["round"] = round_no
+            store.commit(meta)
             return {"n_selected": 0, "n_admitted": 0, "n_fetched": 0,
-                    "n_frontier": n_frontier}
+                    "n_frontier": int(meta.get("n_frontier", 0))}
 
         leftover = frontier.join(
             selected.select("url_norm"), "url_norm", "left_anti"
@@ -310,8 +352,12 @@ class CrawlEngine:
             .drop("_rn")
         )
 
-        # 8. seen anti-join (Bloom-prefiltered) + deterministic seq
-        new_rows = seenmod.anti_join_seen(cand, seen, use_bloom=cfg.use_bloom)
+        # 8. seen anti-join (incremental-Bloom-prefiltered) + deterministic seq
+        cand = cand.cache()
+        if cfg.use_bloom:
+            new_rows = seenmod.anti_join_with_bloom(cand, seen, self.bloom())
+        else:
+            new_rows = seenmod.anti_join_seen(cand, seen, use_bloom=False)
         new_rows = dense_seq(
             new_rows, ["parent_seq", "link_idx"], base=round_no << ROUND_SHIFT
         ).cache()
@@ -325,14 +371,15 @@ class CrawlEngine:
         store.stage_overwrite(
             "frontier", leftover.unionByName(new_frontier_rows)
         )
-        store.stage_append(
-            "seen",
-            new_rows.select(
-                "url_norm",
-                F.xxhash64("url_norm").alias("url_hash"),
-                F.lit(round_no).alias("round_added"),
-            ),
+        new_seen = new_rows.select(
+            "url_norm",
+            F.xxhash64("url_norm").alias("url_hash"),
+            F.lit(round_no).alias("round_added"),
         )
+        store.stage_append("seen", new_seen)
+        if cfg.use_bloom:
+            self.bloom().add_hashes_df(new_seen)
+            self._save_bloom()
         # content_seen gains the hash of every dedup WINNER not already there
         # (the reference's get-or-put inserts on first sight even when the
         # lang check later drops the doc — DocumentParserBolt.java:155-194).
@@ -377,13 +424,22 @@ class CrawlEngine:
         )
         store.stage_append("trace", trace)
 
-        # metrics
-        n_fetched = fetched.count()
+        # metrics: two single-pass aggs over the cached frames instead of a
+        # count() job per counter (per-round job fanout dominated wall time)
+        pre_counts = {
+            r["_pre"]: r["n"]
+            for r in fx.groupBy("_pre").agg(F.count("*").alias("n")).collect()
+        }
+        act_counts = {
+            r["action"]: r["n"]
+            for r in got.groupBy("action").agg(F.count("*").alias("n")).collect()
+        }
+        n_fetched = act_counts.get("fetched", 0)
+        n_get = sum(act_counts.values())
+        n_dup = act_counts.get("dup_content", 0)
+        n_denied = pre_counts.get("robots_denied", 0)
         n_links = cand.count()
         n_admitted = new_rows.count()
-        n_dup = got.filter(F.col("action") == "dup_content").count()
-        n_denied = fx.filter(F.col("_pre") == "robots_denied").count()
-        n_get = got.count()
         wall_ms = int((time.time() - t0) * 1000)
         store.stage_append(
             "metrics",
@@ -393,12 +449,21 @@ class CrawlEngine:
                 S.METRICS,
             ),
         )
-        n_frontier = leftover.count() + n_admitted
+        n_frontier = (
+            int(prev_meta.get("n_frontier", 0)) - n_selected + n_admitted
+        )
+        n_seen = int(prev_meta.get("n_seen", 0)) + n_admitted
         total = self._crawled_total() + n_fetched
         store.commit(
-            {"round": round_no, "n_crawled": total, "n_frontier": n_frontier}
+            {
+                "round": round_no,
+                "n_crawled": total,
+                "n_frontier": n_frontier,
+                "n_seen": n_seen,
+                "bloom_bits": prev_meta.get("bloom_bits", cfg.bloom_bits),
+            }
         )
-        for df in (selected, fx, got, fetched):
+        for df in (selected, fx, got, fetched, cand, new_rows):
             df.unpersist()
         return {
             "n_selected": n_selected, "n_fetched": n_fetched,
@@ -425,9 +490,13 @@ class CrawlEngine:
         while r < budget:
             if self._crawled_total() >= cfg.max_file_num:
                 break  # D5: maxFileNum stop (CrawlerBolt.java:371-375)
-            frontier = self.store.read(self.spark, "frontier", S.FRONTIER)
-            if frontier.isEmpty():
-                break  # quiescence (URLSpout.java:133-142)
+            if "n_frontier" in self.store.meta:
+                if int(self.store.meta["n_frontier"]) == 0:
+                    break  # quiescence (URLSpout.java:133-142)
+            elif self.store.read(
+                self.spark, "frontier", S.FRONTIER
+            ).isEmpty():
+                break
             r += 1
             last = self.run_round(r)
             if last["n_selected"] == 0:

@@ -83,6 +83,80 @@ def bloom_hit_udf(bitmap: bytes, n_bits: int):
     return _hit
 
 
+class BloomState:
+    """Incrementally-maintained broadcast Bloom filter over seen url_hashes.
+
+    The engine ORs each round's ADMITTED hashes into the bitmap (one
+    vectorized pass over the small delta), instead of rebuilding from the
+    full seen table every round. Persisted alongside the snapshot for
+    resume; rebuilt from the seen table if the file is missing.
+
+    Scale note: at 10^10 URLs a single broadcast bitmap is ~12 GB — too big.
+    The production layout shards the filter by pmod(url_hash, B) bucket,
+    co-partitioned with the Iceberg seen table, so each executor loads only
+    its buckets' slices. The sandbox uses one bitmap (documented trade-off);
+    the hash/indexing math here is shard-agnostic.
+    """
+
+    def __init__(self, n_bits: int = 1 << 23):
+        self.n_bits = n_bits
+        self.bitmap = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+
+    def add_hashes_df(self, df: DataFrame) -> None:
+        """OR the url_hash column of df into the bitmap (distributed
+        per-partition vectorized bitmaps, OR-reduced)."""
+        n_bits = self.n_bits
+        n_bytes = (n_bits + 7) // 8
+
+        def part(it):
+            acc = np.zeros(n_bytes, dtype=np.uint8)
+            hs = np.fromiter((r[0] for r in it), dtype=np.int64)
+            if hs.size:
+                idx = _indices(hs, n_bits).ravel()
+                np.bitwise_or.at(
+                    acc, idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+                )
+            yield acc
+
+        parts = df.select("url_hash").rdd.mapPartitions(part)
+        delta = parts.treeAggregate(  # aggregate: safe on empty RDDs
+            np.zeros(n_bytes, dtype=np.uint8),
+            np.bitwise_or,
+            np.bitwise_or,
+            depth=2,
+        )
+        self.bitmap = np.bitwise_or(self.bitmap, delta)
+
+    def hit_udf(self):
+        return bloom_hit_udf(self.bitmap.tobytes(), self.n_bits)
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            f.write(self.bitmap.tobytes())
+
+    @classmethod
+    def load(cls, path: str, n_bits: int) -> "BloomState":
+        b = cls(n_bits)
+        arr = np.fromfile(path, dtype=np.uint8)
+        assert arr.size == b.bitmap.size, "bloom size mismatch"
+        b.bitmap = arr
+        return b
+
+
+def anti_join_with_bloom(candidates: DataFrame, seen: DataFrame,
+                         bloom: BloomState) -> DataFrame:
+    """Exact anti-join with the incremental Bloom as prefilter (see
+    anti_join_seen for the exactness argument)."""
+    cand = candidates.withColumn("url_hash", F.xxhash64("url_norm"))
+    hit = bloom.hit_udf()
+    cand = cand.withColumn("_maybe", hit(F.col("url_hash")))
+    definitely_new = cand.filter(~F.col("_maybe"))
+    confirmed_new = cand.filter(F.col("_maybe")).join(
+        seen.select("url_norm"), "url_norm", "left_anti"
+    )
+    return definitely_new.unionByName(confirmed_new).drop("_maybe", "url_hash")
+
+
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
