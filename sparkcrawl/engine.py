@@ -227,27 +227,6 @@ class CrawlEngine:
             frontier, self.host_rules, host_clock, round_no
         )
         selected = politeness.select_per_host(eligible, host_priority).cache()
-        n_selected = selected.count()
-        if n_selected == 0:
-            # all frontier rows are delay-deferred (or frontier empty):
-            # commit an empty round so the clock advances.
-            store.stage_append(
-                "metrics",
-                spark.createDataFrame(
-                    [(round_no, 0, 0, 0, 0, 0, 0, 0,
-                      int((time.time() - t0) * 1000))],
-                    S.METRICS,
-                ),
-            )
-            meta = dict(prev_meta)
-            meta["round"] = round_no
-            store.commit(meta)
-            return {"n_selected": 0, "n_admitted": 0, "n_fetched": 0,
-                    "n_frontier": int(meta.get("n_frontier", 0))}
-
-        leftover = frontier.join(
-            selected.select("url_norm"), "url_norm", "left_anti"
-        )
 
         # 3. robots disallow (broadcast join + JVM exists())
         sel = robots.join_rules(selected, self.host_rules)
@@ -289,6 +268,34 @@ class CrawlEngine:
             .otherwise(F.lit("get"))
         )
         fx = fx.withColumn("_pre", pre_action).cache()
+
+        # single pass gives both the selection size and the branch mix —
+        # no standalone count() jobs (per-round job fanout costs wall time)
+        pre_counts = {
+            r["_pre"]: r["n"]
+            for r in fx.groupBy("_pre").agg(F.count("*").alias("n")).collect()
+        }
+        n_selected = sum(pre_counts.values())
+        if n_selected == 0:
+            # all frontier rows delay-deferred (or frontier empty): commit
+            # an empty round so the virtual clock advances.
+            store.stage_append_rows(
+                "metrics",
+                [(round_no, 0, 0, 0, 0, 0, 0, 0,
+                  int((time.time() - t0) * 1000))],
+                S.METRICS,
+            )
+            meta = dict(prev_meta)
+            meta["round"] = round_no
+            store.commit(meta)
+            selected.unpersist()
+            fx.unpersist()
+            return {"n_selected": 0, "n_admitted": 0, "n_fetched": 0,
+                    "n_frontier": int(meta.get("n_frontier", 0))}
+
+        leftover = frontier.join(
+            selected.select("url_norm"), "url_norm", "left_anti"
+        )
 
         # 5. GET rows -> extract + content dedup + lang filter.
         got = fx.filter(F.col("_pre") == "get")
@@ -410,6 +417,17 @@ class CrawlEngine:
         ).unionByName(got_hosts)
         store.stage_overwrite("host_clock", new_clock)
 
+        # per-partition fetch lineage (north-star requirement): which
+        # extraction partition processed how many GETs this round
+        store.stage_append(
+            "lineage",
+            got.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("n_rows"))
+            .select(
+                F.lit(round_no).alias("round"), "partition_id", "n_rows"
+            ),
+        )
+
         # trace: every selected row gets exactly one action
         traced = (
             fx.filter(F.col("_pre") != "get")
@@ -424,12 +442,7 @@ class CrawlEngine:
         )
         store.stage_append("trace", trace)
 
-        # metrics: two single-pass aggs over the cached frames instead of a
-        # count() job per counter (per-round job fanout dominated wall time)
-        pre_counts = {
-            r["_pre"]: r["n"]
-            for r in fx.groupBy("_pre").agg(F.count("*").alias("n")).collect()
-        }
+        # metrics: one single-pass agg over the cached extraction frame
         act_counts = {
             r["action"]: r["n"]
             for r in got.groupBy("action").agg(F.count("*").alias("n")).collect()
@@ -441,13 +454,11 @@ class CrawlEngine:
         n_links = cand.count()
         n_admitted = new_rows.count()
         wall_ms = int((time.time() - t0) * 1000)
-        store.stage_append(
+        store.stage_append_rows(
             "metrics",
-            spark.createDataFrame(
-                [(round_no, n_selected, n_get, n_fetched, n_links,
-                  n_admitted, n_dup, n_denied, wall_ms)],
-                S.METRICS,
-            ),
+            [(round_no, n_selected, n_get, n_fetched, n_links,
+              n_admitted, n_dup, n_denied, wall_ms)],
+            S.METRICS,
         )
         n_frontier = (
             int(prev_meta.get("n_frontier", 0)) - n_selected + n_admitted

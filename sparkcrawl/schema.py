@@ -113,6 +113,14 @@ TRACE = T.StructType(
     ]
 )
 
+LINEAGE = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+    ]
+)
+
 METRICS = T.StructType(
     [
         T.StructField("round", T.IntegerType(), False),

@@ -34,6 +34,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def _arrow_types():
+    import pyarrow as pa
+
+    return {
+        "IntegerType": pa.int32(),
+        "LongType": pa.int64(),
+        "StringType": pa.string(),
+        "DoubleType": pa.float64(),
+        "TimestampType": pa.timestamp("us", tz="UTC"),
+        "BinaryType": pa.binary(),
+        "BooleanType": pa.bool_(),
+    }
+
+
+class _LazyArrowTypes(dict):
+    def __missing__(self, key):
+        self.update(_arrow_types())
+        return dict.__getitem__(self, key)
+
+
+_ARROW_TYPES = _LazyArrowTypes()
+
+
 class SnapshotStore:
     def __init__(self, root: str):
         self.root = root
@@ -75,6 +98,33 @@ class SnapshotStore:
 
     def stage_append(self, name: str, df: DataFrame) -> None:
         path = self._write(name, df)
+        p = self._pending.setdefault(name, {"mode": "append", "dirs": []})
+        p["dirs"].append(path)
+
+    def stage_append_rows(self, name: str, rows: list[tuple],
+                          schema: T.StructType) -> None:
+        """Append driver-side rows as parquet WITHOUT a Spark job (for tiny
+        observational tables like per-round metrics)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        token = f"r{self.version + 1}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.data_dir, name, token)
+        os.makedirs(path, exist_ok=True)
+        arrow_schema = pa.schema(
+            [
+                (f.name, _ARROW_TYPES[type(f.dataType).__name__])
+                for f in schema.fields
+            ]
+        )
+        cols = {
+            f.name: [r[i] for r in rows]
+            for i, f in enumerate(schema.fields)
+        }
+        pq.write_table(
+            pa.table(cols, schema=arrow_schema),
+            os.path.join(path, "part-0.parquet"),
+        )
         p = self._pending.setdefault(name, {"mode": "append", "dirs": []})
         p["dirs"].append(path)
 

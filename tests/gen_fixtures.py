@@ -23,17 +23,28 @@ from __future__ import annotations
 import datetime as dt
 import os
 import random
+import sys
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from sparkcrawl.htmlspec import extract
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkcrawl.htmlspec import extract  # noqa: E402
 
 SIZES = {
-    "tiny": dict(n_hosts=12, mean_pages=6, mega_pages=40),
-    "t1": dict(n_hosts=200, mean_pages=18, mega_pages=1500),
-    "t2": dict(n_hosts=1000, mean_pages=35, mega_pages=15000),
-    "bench": dict(n_hosts=5000, mean_pages=70, mega_pages=150000),
+    # seed_hosts: how many hosts get a seed URL (a real crawl seeds wide —
+    # narrow seeding makes early rounds tiny and benchmarks overhead-bound);
+    # n_para/para_words: page body size knobs (bench sizes get real bodies
+    # so extraction, the actual 100 TB cost center, dominates the round).
+    "tiny": dict(n_hosts=12, mean_pages=6, mega_pages=40,
+                 seed_hosts=8, n_para=(1, 4), para_words=(6, 18)),
+    "t1": dict(n_hosts=200, mean_pages=18, mega_pages=1500,
+               seed_hosts=60, n_para=(1, 4), para_words=(6, 18)),
+    "t2": dict(n_hosts=1000, mean_pages=35, mega_pages=15000,
+               seed_hosts=500, n_para=(6, 14), para_words=(30, 60)),
+    "bench": dict(n_hosts=5000, mean_pages=70, mega_pages=150000,
+                  seed_hosts=2500, n_para=(6, 14), para_words=(30, 60)),
 }
 
 WORDS = (
@@ -47,13 +58,12 @@ def _para(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(WORDS) for _ in range(n))
 
 
-def _page_html(rng, url, lang, links, dup_body=None):
-    """Deterministic page body; returns (html_str, hrefs_used)."""
-    if dup_body is not None:
-        return dup_body
+def _page_html(rng, url, lang, links, n_para=(1, 4), para_words=(6, 18)):
+    """Deterministic page body."""
     title = f"Title {_para(rng, 3)}"
     paras = "\n".join(
-        f"<p>{_para(rng, rng.randint(6, 18))}</p>" for _ in range(rng.randint(1, 4))
+        f"<p>{_para(rng, rng.randint(*para_words))}</p>"
+        for _ in range(rng.randint(*n_para))
     )
     anchors = "\n".join(
         f'<a href="{h}">{_para(rng, 2)}</a>' for h in links
@@ -216,11 +226,14 @@ def generate(size: str = "tiny", seed: int = 42) -> dict:
             if gi is not None:
                 if gi not in dup_bodies:
                     dup_bodies[gi] = _page_html(
-                        prng, u, "en", ["/dup_common.html"]
+                        prng, u, "en", ["/dup_common.html"],
+                        p["n_para"], p["para_words"],
                     )
                 html = dup_bodies[gi]
             else:
-                html = _page_html(prng, u, lang, links)
+                html = _page_html(
+                    prng, u, lang, links, p["n_para"], p["para_words"]
+                )
             ex = extract(html)  # golden text via the SPEC reference impl
             pages_rows.append(
                 dict(url=u, warc_ts=warc, html=html.encode("utf-8"),
@@ -238,14 +251,16 @@ def generate(size: str = "tiny", seed: int = 42) -> dict:
                      content_type=ct, content_length=ml)
             )
 
-    # --- seeds ---
+    # --- seeds: wide seeding (priority mix 1/2/3 by index) ---
     seeds_rows = [
         dict(url="http://mega.example.com:80/", priority=1),
         dict(url=f"http://{hosts[4 % n_hosts]}:80/", priority=2),
         dict(url=f"http://{hosts[5 % n_hosts]}:80/", priority=2),
     ]
-    for i in range(6, min(n_hosts, 14)):
-        seeds_rows.append(dict(url=f"http://{hosts[i]}:80/", priority=3))
+    n_seed = min(n_hosts, p["seed_hosts"])
+    for i in range(6, max(6, n_seed)):
+        pr = 3 if i % 5 else 2
+        seeds_rows.append(dict(url=f"http://{hosts[i]}:80/", priority=pr))
     if n_hosts > 3:
         seeds_rows.append(dict(url="http://xxx.com:80/", priority=3))
 

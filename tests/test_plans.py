@@ -1,0 +1,62 @@
+"""Physical-plan assertions: the optimizations we claim must show in
+.explain() — broadcast joins stay broadcast, filters push to the scan,
+Python UDFs are Arrow-vectorized, politeness never globally re-sorts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import load_inputs
+from sparkcrawl.politeness import select_per_host
+from sparkcrawl.robots import effective_rules, join_rules
+from sparkcrawl.urlnorm import canonicalize_udf
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_robots_join_is_broadcast(spark, fixture_paths):
+    _, _, robots_df, _ = load_inputs(spark, fixture_paths)
+    frontier = spark.createDataFrame(
+        [("http://h0.example.com:80/", "h0.example.com", "/", 1)],
+        "url_norm string, host string, path string, depth int",
+    )
+    plan = _plan(join_rules(frontier, effective_rules(robots_df)))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_parquet_filter_pushdown(spark, fixture_paths):
+    pages = spark.read.parquet(fixture_paths["pages"])
+    q = pages.filter(F.col("lang") == "en").select("url")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # column pruning: only url+lang reach the scan
+    assert "ReadSchema" in plan
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][0]
+    assert "html" not in read_schema
+
+
+def test_canonicalize_is_arrow_vectorized(spark):
+    df = spark.createDataFrame([("http://a.com/x",)], "href string")
+    q = df.select(canonicalize_udf(F.lit(None), F.col("href")))
+    plan = _plan(q)
+    assert "ArrowEvalPython" in plan  # pandas UDF, not row-at-a-time Python
+
+
+def test_politeness_no_global_sort(spark):
+    frontier = spark.createDataFrame(
+        [("http://h:80/x", "h", "/x", 1, 1, 0)],
+        "url_norm string, host string, path string, depth int, "
+        "seq long, round_added int",
+    )
+    prio = spark.createDataFrame([("h", 1)], "host string, priority int")
+    plan = _plan(select_per_host(frontier, prio))
+    # both ranking windows are host-partitioned: no empty PARTITION BY
+    # (which would funnel the frontier through one task)
+    assert "Window" in plan
+    assert "hashpartitioning(host" in plan
