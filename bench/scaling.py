@@ -45,11 +45,20 @@ eng.run(seeds, max_rounds=rounds)
 wall = time.time() - t0
 n_traced = store.read(spark, "trace", S.TRACE).count()
 n_extracted = store.read(spark, "crawled", S.CRAWLED).count()
+# steady-state = rounds 2..n (round 1 pays python-worker + JIT warmup)
+mrows = sorted(
+    (r["round"], r["n_selected"], r["wall_ms"])
+    for r in store.read(spark, "metrics", S.METRICS).collect()
+)
+ss_urls = sum(n for rd, n, w in mrows if rd > 1)
+ss_wall = sum(w for rd, n, w in mrows if rd > 1) / 1000.0
 shutil.rmtree(store_dir, ignore_errors=True)
 print("RESULT " + json.dumps({{
     "cores": cores, "wall_s": round(wall, 2),
     "n_traced": n_traced, "n_extracted": n_extracted,
     "urls_per_sec": round(n_traced / wall, 2),
+    "steady_urls": ss_urls, "steady_wall_s": round(ss_wall, 2),
+    "steady_urls_per_sec": round(ss_urls / max(ss_wall, 1e-9), 2),
 }}))
 """
 
@@ -83,17 +92,22 @@ def main():
         with open(os.path.join(web, "_DONE"), "w") as f:
             f.write("ok")
 
-    lo = run_at(8, size, rounds, web)
-    hi = run_at(32, size, rounds, web)
+    n_lo = int(os.environ.get("SPARKCRAWL_SCALE_N", "2"))
+    n_hi = 4 * n_lo
+    lo = run_at(n_lo, size, rounds, web)
+    hi = run_at(n_hi, size, rounds, web)
     assert lo["n_traced"] == hi["n_traced"], "determinism violated across parallelism"
     assert lo["n_extracted"] == hi["n_extracted"]
     speedup = lo["wall_s"] / hi["wall_s"]
-    efficiency = speedup / (32 / 8)
+    efficiency = speedup / 4
+    ss_speedup = lo["steady_wall_s"] / max(hi["steady_wall_s"], 1e-9)
     result = {
-        "size": size, "rounds": rounds,
-        "local8": lo, "local32": hi,
+        "size": size, "rounds": rounds, "n_lo": n_lo, "n_hi": n_hi,
+        "lo": lo, "hi": hi,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "steady_speedup": round(ss_speedup, 3),
+        "steady_scaling_efficiency": round(ss_speedup / 4, 3),
     }
     print(json.dumps(result))
 
@@ -101,17 +115,23 @@ def main():
     stamp = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     with open(md, "a") as f:
         f.write(
-            f"\n## Scaling run {stamp} (size={size}, rounds={rounds})\n\n"
-            "| parallelism | wall s | URLs traced | extracted | URLs/sec |\n"
-            "|---|---|---|---|---|\n"
-            f"| local[8] | {lo['wall_s']} | {lo['n_traced']} | "
-            f"{lo['n_extracted']} | {lo['urls_per_sec']} |\n"
-            f"| local[32] | {hi['wall_s']} | {hi['n_traced']} | "
-            f"{hi['n_extracted']} | {hi['urls_per_sec']} |\n\n"
-            f"speedup local[8]->local[32]: **{result['speedup']}x**; "
-            f"4x-core scaling efficiency: **{result['scaling_efficiency']}**"
-            f" (north-rule target >= 0.8 over 4x executors; identical traced"
-            f"/extracted counts at both levels = determinism check).\n"
+            f"\n## Scaling run {stamp} (size={size}, rounds={rounds}, "
+            f"N={n_lo} vs 4N={n_hi} cores)\n\n"
+            "| parallelism | wall s | URLs traced | extracted | URLs/sec | "
+            "steady URLs/sec |\n"
+            "|---|---|---|---|---|---|\n"
+            f"| local[{n_lo}] | {lo['wall_s']} | {lo['n_traced']} | "
+            f"{lo['n_extracted']} | {lo['urls_per_sec']} | "
+            f"{lo['steady_urls_per_sec']} |\n"
+            f"| local[{n_hi}] | {hi['wall_s']} | {hi['n_traced']} | "
+            f"{hi['n_extracted']} | {hi['urls_per_sec']} | "
+            f"{hi['steady_urls_per_sec']} |\n\n"
+            f"N->4N speedup **{result['speedup']}x** (efficiency "
+            f"**{result['scaling_efficiency']}**); steady-state (excl. "
+            f"warmup round 1) speedup **{result['steady_speedup']}x** "
+            f"(efficiency **{result['steady_scaling_efficiency']}**; "
+            f"north-rule target >= 0.8). Identical traced/extracted counts "
+            f"at both levels = cross-parallelism determinism check.\n"
         )
     return result
 

@@ -24,6 +24,7 @@ all tie-breaks are (parent_seq, link_idx); all UDFs pure.
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
@@ -369,80 +370,7 @@ class CrawlEngine:
             new_rows, ["parent_seq", "link_idx"], base=round_no << ROUND_SHIFT
         ).cache()
 
-        # ---- stage writes ----
-        new_frontier_rows = new_rows.select(
-            "url_norm", "host", "path",
-            (F.col("parent_depth") + 1).alias("depth"),
-            "seq", F.lit(round_no).alias("round_added"),
-        )
-        store.stage_overwrite(
-            "frontier", leftover.unionByName(new_frontier_rows)
-        )
-        new_seen = new_rows.select(
-            "url_norm",
-            F.xxhash64("url_norm").alias("url_hash"),
-            F.lit(round_no).alias("round_added"),
-        )
-        store.stage_append("seen", new_seen)
-        if cfg.use_bloom:
-            self.bloom().add_hashes_df(new_seen)
-            self._save_bloom()
-        # content_seen gains the hash of every dedup WINNER not already there
-        # (the reference's get-or-put inserts on first sight even when the
-        # lang check later drops the doc — DocumentParserBolt.java:155-194).
-        winners = got.filter(
-            (F.col("_dup_rn") == 1) & F.col("_in_cs").isNull()
-        )
-        store.stage_append(
-            "content_seen",
-            winners.select(
-                "content_hash", F.col("url_norm").alias("first_url")
-            ),
-        )
-        store.stage_append(
-            "crawled",
-            fetched.select(
-                "url_norm", "host", F.lit(round_no).alias("round"),
-                "content_hash", F.col("ex_text").alias("text"),
-                F.col("ex_lang").alias("lang"), "warc_ts",
-            ),
-        )
-        # host clock: a GET happened for actions {fetched,dup_content,
-        # not_html_lang} (lastCrawled set at GET — XPathCrawler.java:162-164)
-        got_hosts = got.select("host").distinct().withColumn(
-            "last_round", F.lit(round_no)
-        )
-        new_clock = host_clock.join(
-            got_hosts.select("host"), "host", "left_anti"
-        ).unionByName(got_hosts)
-        store.stage_overwrite("host_clock", new_clock)
-
-        # per-partition fetch lineage (north-star requirement): which
-        # extraction partition processed how many GETs this round
-        store.stage_append(
-            "lineage",
-            got.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("n_rows"))
-            .select(
-                F.lit(round_no).alias("round"), "partition_id", "n_rows"
-            ),
-        )
-
-        # trace: every selected row gets exactly one action
-        traced = (
-            fx.filter(F.col("_pre") != "get")
-            .select("seq", "url_norm", "host", F.col("_pre").alias("action"))
-            .unionByName(got.select("seq", "url_norm", "host", "action"))
-        )
-        ord_w = W.partitionBy(F.lit(1)).orderBy("seq")  # per-round, small set
-        trace = traced.select(
-            F.lit(round_no).alias("round"),
-            F.row_number().over(ord_w).alias("ord"),
-            "url_norm", "host", "action",
-        )
-        store.stage_append("trace", trace)
-
-        # metrics: one single-pass agg over the cached extraction frame
+        # ---- metric aggs (also materialize the caches the writes reuse) ----
         act_counts = {
             r["action"]: r["n"]
             for r in got.groupBy("action").agg(F.count("*").alias("n")).collect()
@@ -453,6 +381,82 @@ class CrawlEngine:
         n_denied = pre_counts.get("robots_denied", 0)
         n_links = cand.count()
         n_admitted = new_rows.count()
+
+        # ---- stage writes: independent jobs, submitted concurrently so the
+        # 7 small write jobs overlap instead of paying 7 sequential
+        # job-latency floors (Spark schedulers accept jobs from threads) ----
+        new_frontier_rows = new_rows.select(
+            "url_norm", "host", "path",
+            (F.col("parent_depth") + 1).alias("depth"),
+            "seq", F.lit(round_no).alias("round_added"),
+        )
+        new_seen = new_rows.select(
+            "url_norm",
+            F.xxhash64("url_norm").alias("url_hash"),
+            F.lit(round_no).alias("round_added"),
+        )
+        # content_seen gains the hash of every dedup WINNER not already there
+        # (the reference's get-or-put inserts on first sight even when the
+        # lang check later drops the doc — DocumentParserBolt.java:155-194).
+        winners = got.filter(
+            (F.col("_dup_rn") == 1) & F.col("_in_cs").isNull()
+        )
+        # host clock: a GET happened for actions {fetched,dup_content,
+        # not_html_lang} (lastCrawled set at GET — XPathCrawler.java:162-164)
+        got_hosts = got.select("host").distinct().withColumn(
+            "last_round", F.lit(round_no)
+        )
+        new_clock = host_clock.join(
+            got_hosts.select("host"), "host", "left_anti"
+        ).unionByName(got_hosts)
+        # trace: every selected row gets exactly one action; ord ranks the
+        # SELECTED set only (≤ hosts×cap rows), never the corpus
+        traced = (
+            fx.filter(F.col("_pre") != "get")
+            .select("seq", "url_norm", "host", F.col("_pre").alias("action"))
+            .unionByName(got.select("seq", "url_norm", "host", "action"))
+        )
+        ord_w = W.partitionBy(F.lit(1)).orderBy("seq")
+        trace = traced.select(
+            F.lit(round_no).alias("round"),
+            F.row_number().over(ord_w).alias("ord"),
+            "url_norm", "host", "action",
+        )
+        lineage = (
+            got.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("n_rows"))
+            .select(F.lit(round_no).alias("round"), "partition_id", "n_rows")
+        )
+        tasks = [
+            lambda: store.stage_overwrite(
+                "frontier", leftover.unionByName(new_frontier_rows)
+            ),
+            lambda: store.stage_append("seen", new_seen),
+            lambda: store.stage_append(
+                "content_seen",
+                winners.select(
+                    "content_hash", F.col("url_norm").alias("first_url")
+                ),
+            ),
+            lambda: store.stage_append(
+                "crawled",
+                fetched.select(
+                    "url_norm", "host", F.lit(round_no).alias("round"),
+                    "content_hash", F.col("ex_text").alias("text"),
+                    F.col("ex_lang").alias("lang"), "warc_ts",
+                ),
+            ),
+            lambda: store.stage_overwrite("host_clock", new_clock),
+            lambda: store.stage_append("trace", trace),
+            lambda: store.stage_append("lineage", lineage),
+        ]
+        if cfg.use_bloom:
+            tasks.append(lambda: self.bloom().add_hashes_df(new_seen))
+        with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
+            list(ex.map(lambda f: f(), tasks))
+        if cfg.use_bloom:
+            self._save_bloom()
+
         wall_ms = int((time.time() - t0) * 1000)
         store.stage_append_rows(
             "metrics",

@@ -65,6 +65,7 @@ class SnapshotStore:
         os.makedirs(self.snap_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         self._pending: dict[str, dict] = {}
+        self._lock = __import__("threading").Lock()
         self._load_current()
 
     # ---- snapshot state ----
@@ -98,8 +99,9 @@ class SnapshotStore:
 
     def stage_append(self, name: str, df: DataFrame) -> None:
         path = self._write(name, df)
-        p = self._pending.setdefault(name, {"mode": "append", "dirs": []})
-        p["dirs"].append(path)
+        with self._lock:
+            p = self._pending.setdefault(name, {"mode": "append", "dirs": []})
+            p["dirs"].append(path)
 
     def stage_append_rows(self, name: str, rows: list[tuple],
                           schema: T.StructType) -> None:
@@ -130,7 +132,8 @@ class SnapshotStore:
 
     def stage_overwrite(self, name: str, df: DataFrame) -> None:
         path = self._write(name, df)
-        self._pending[name] = {"mode": "overwrite", "dirs": [path]}
+        with self._lock:
+            self._pending[name] = {"mode": "overwrite", "dirs": [path]}
 
     def commit(self, meta: dict | None = None) -> int:
         """Fold pending stages into a new manifest; atomic CURRENT swap."""

@@ -45,6 +45,10 @@ SIZES = {
                seed_hosts=500, n_para=(6, 14), para_words=(30, 60)),
     "bench": dict(n_hosts=5000, mean_pages=70, mega_pages=150000,
                   seed_hosts=2500, n_para=(6, 14), para_words=(30, 60)),
+    # scale: very wide host fan-out, every host seeded -> ~200k URLs/round;
+    # per-round compute dominates fixed overhead (the scaling-bench profile)
+    "scale": dict(n_hosts=50_000, mean_pages=8, mega_pages=30_000,
+                  seed_hosts=50_000, n_para=(1, 3), para_words=(10, 30)),
 }
 
 WORDS = (
@@ -300,7 +304,9 @@ def write_parquet(fixtures: dict, out_dir: str) -> dict:
         }
         table = pa.table(cols, schema=schema)
         path = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(table, path)
+        # small row groups: Spark parallelizes parquet scans at row-group
+        # granularity — one giant row group serializes every downstream scan
+        pq.write_table(table, path, row_group_size=20_000)
         paths[name] = path
     return paths
 
