@@ -96,6 +96,22 @@ def _empty(spark: SparkSession, schema) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+class _Ticker:
+    """Per-phase wall timings (enabled via SPARKCRAWL_TIMING=1)."""
+
+    def __init__(self):
+        import os
+
+        self.on = os.environ.get("SPARKCRAWL_TIMING") == "1"
+        self.t = time.time()
+        self.phases: dict[str, float] = {}
+
+    def __call__(self, label: str) -> None:
+        now = time.time()
+        self.phases[label] = round(now - self.t, 2)
+        self.t = now
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -210,6 +226,7 @@ class CrawlEngine:
         """Execute round ``round_no`` (1-based) and commit atomically.
         Returns the metrics dict (counters for the driver loop)."""
         t0 = time.time()
+        tk = _Ticker()
         spark, cfg, store = self.spark, self.cfg, self.store
         frontier = store.read(spark, "frontier", S.FRONTIER)
         seen = store.read(spark, "seen", S.SEEN)
@@ -227,7 +244,14 @@ class CrawlEngine:
         eligible = politeness.eligible_hosts_filter(
             frontier, self.host_rules, host_clock, round_no
         )
-        selected = politeness.select_per_host(eligible, host_priority).cache()
+        # localCheckpoint (not cache): materializes AND truncates lineage, so
+        # every downstream plan this round is analyzed from a memory scan
+        # instead of re-analyzing the whole politeness/join DAG — Catalyst
+        # analysis+codegen over deep lineage was the dominant per-round
+        # fixed cost (measured ~5s/round before truncation).
+        selected = politeness.select_per_host(
+            eligible, host_priority
+        ).localCheckpoint(eager=False)
 
         # 3. robots disallow (broadcast join + JVM exists())
         sel = robots.join_rules(selected, self.host_rules)
@@ -268,7 +292,7 @@ class CrawlEngine:
             .when(clen > cfg.max_doc_size, F.lit("too_big"))
             .otherwise(F.lit("get"))
         )
-        fx = fx.withColumn("_pre", pre_action).cache()
+        fx = fx.withColumn("_pre", pre_action).localCheckpoint(eager=False)
 
         # single pass gives both the selection size and the branch mix —
         # no standalone count() jobs (per-round job fanout costs wall time)
@@ -277,6 +301,7 @@ class CrawlEngine:
             for r in fx.groupBy("_pre").agg(F.count("*").alias("n")).collect()
         }
         n_selected = sum(pre_counts.values())
+        tk("select+fetch_join")
         if n_selected == 0:
             # all frontier rows delay-deferred (or frontier empty): commit
             # an empty round so the virtual clock advances.
@@ -306,7 +331,7 @@ class CrawlEngine:
         got = with_extracted(got).withColumn(
             "content_hash",
             F.xxhash64(F.coalesce(F.col("html"), F.lit(b""))),
-        )
+        ).drop("html", "page_lang", "_denied")  # narrow before materializing
         dup_w = W.partitionBy("content_hash").orderBy("seq")
         got = got.withColumn("_dup_rn", F.row_number().over(dup_w))
         got = got.join(
@@ -327,9 +352,9 @@ class CrawlEngine:
             .when(~lang_ok, F.lit("not_html_lang"))
             .otherwise(F.lit("fetched"))
         )
-        got = got.withColumn("action", action).cache()
+        got = got.withColumn("action", action).localCheckpoint(eager=False)
 
-        fetched = got.filter(F.col("action") == "fetched").cache()
+        fetched = got.filter(F.col("action") == "fetched")
 
         # 6. candidate links: outlinks of stored pages + redirect targets
         links = fetched.select(
@@ -361,26 +386,29 @@ class CrawlEngine:
         )
 
         # 8. seen anti-join (incremental-Bloom-prefiltered) + deterministic seq
-        cand = cand.cache()
+        cand = cand.localCheckpoint(eager=False)
         if cfg.use_bloom:
             new_rows = seenmod.anti_join_with_bloom(cand, seen, self.bloom())
         else:
             new_rows = seenmod.anti_join_seen(cand, seen, use_bloom=False)
         new_rows = dense_seq(
             new_rows, ["parent_seq", "link_idx"], base=round_no << ROUND_SHIFT
-        ).cache()
+        )
 
         # ---- metric aggs (also materialize the caches the writes reuse) ----
         act_counts = {
             r["action"]: r["n"]
             for r in got.groupBy("action").agg(F.count("*").alias("n")).collect()
         }
+        tk("extract+dedup")
         n_fetched = act_counts.get("fetched", 0)
         n_get = sum(act_counts.values())
         n_dup = act_counts.get("dup_content", 0)
         n_denied = pre_counts.get("robots_denied", 0)
         n_links = cand.count()
+        tk("canonicalize+admission")
         n_admitted = new_rows.count()
+        tk("seen_antijoin+seq")
 
         # ---- stage writes: independent jobs, submitted concurrently so the
         # 7 small write jobs overlap instead of paying 7 sequential
@@ -456,6 +484,7 @@ class CrawlEngine:
             list(ex.map(lambda f: f(), tasks))
         if cfg.use_bloom:
             self._save_bloom()
+        tk("stage_writes")
 
         wall_ms = int((time.time() - t0) * 1000)
         store.stage_append_rows(
@@ -478,13 +507,15 @@ class CrawlEngine:
                 "bloom_bits": prev_meta.get("bloom_bits", cfg.bloom_bits),
             }
         )
-        for df in (selected, fx, got, fetched, cand, new_rows):
-            df.unpersist()
-        return {
+        tk("commit")
+        out = {
             "n_selected": n_selected, "n_fetched": n_fetched,
             "n_admitted": n_admitted, "n_frontier": n_frontier,
             "n_crawled_total": total, "wall_ms": wall_ms,
         }
+        if tk.on:
+            out["timings"] = tk.phases
+        return out
 
     def _crawled_total(self) -> int:
         return int(self.store.meta.get("n_crawled", 0))

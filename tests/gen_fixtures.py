@@ -48,7 +48,7 @@ SIZES = {
     # scale: very wide host fan-out, every host seeded -> ~200k URLs/round;
     # per-round compute dominates fixed overhead (the scaling-bench profile)
     "scale": dict(n_hosts=50_000, mean_pages=8, mega_pages=30_000,
-                  seed_hosts=50_000, n_para=(1, 3), para_words=(10, 30)),
+                  seed_hosts=50_000, n_para=(6, 12), para_words=(40, 80)),
 }
 
 WORDS = (
