@@ -43,7 +43,7 @@ HEADLINE = [
     "fingerprint",
 ]
 
-CRAWL_SIZE = os.environ.get("SPARKCRAWL_BENCH_SIZE", "t1")
+CRAWL_SIZE = os.environ.get("SPARKCRAWL_BENCH_SIZE", "t2")
 CRAWL_ROUNDS = int(os.environ.get("SPARKCRAWL_BENCH_ROUNDS", "6"))
 
 

@@ -65,9 +65,11 @@ print("RESULT " + json.dumps({{
 
 def run_at(cores: int, size: str, rounds: int, web: str) -> dict:
     code = WORKER.format(repo=REPO)
+    env = dict(os.environ)
+    env.setdefault("SPARKCRAWL_DRIVER_MEM", "16g")
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), size, str(rounds), web],
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=3600, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

@@ -44,6 +44,7 @@ class CrawlConfig:
     max_doc_size: int = 5_000_000  # worker_0.json: 5 MB
     max_file_num: int = 1_000_000_000  # crawl budget (docs)
     max_rounds: int = 1_000_000
+    cache_web: bool = True  # cache pages/meta across rounds (local working set)
     use_bloom: bool = True
     bloom_bits: int = 1 << 23  # ~1M urls at 8 bits/key locally
     filters: FilterConfig = field(default_factory=FilterConfig)
@@ -132,6 +133,12 @@ class CrawlEngine:
         self.page_meta = page_meta if page_meta is not None else _empty(
             spark, S.PAGE_META
         )
+        if cfg.cache_web:
+            # the synthetic web is re-joined every round; pin it in memory
+            # (cluster analogue: Iceberg bucket pruning + OS page cache keep
+            # the hot fetch working set off cold storage)
+            self.pages = self.pages.cache()
+            self.page_meta = self.page_meta.cache()
         rb = robots_df if robots_df is not None else _empty(spark, S.ROBOTS)
         # effective robots block per host — tiny, computed once, broadcast.
         self.host_rules = robots.effective_rules(rb, cfg.agent).cache()
@@ -250,7 +257,8 @@ class CrawlEngine:
         # analysis+codegen over deep lineage was the dominant per-round
         # fixed cost (measured ~5s/round before truncation).
         selected = politeness.select_per_host(
-            eligible, host_priority
+            eligible, host_priority,
+            frontier_size=int(prev_meta.get("n_frontier", 0)) or None,
         ).localCheckpoint(eager=False)
 
         # 3. robots disallow (broadcast join + JVM exists())
@@ -325,13 +333,19 @@ class CrawlEngine:
 
         # 5. GET rows -> extract + content dedup + lang filter.
         got = fx.filter(F.col("_pre") == "get")
-        # extraction partitions by url hash (uniform), never by host — a
-        # mega-host cannot skew this stage (SURVEY §4 custom-work item 3).
-        got = got.repartition(F.xxhash64("url_norm"))
-        got = with_extracted(got).withColumn(
+        # Extraction runs on the selection's existing partitioning: after the
+        # per-host cap every host contributes <= 15 rows, so host-hash
+        # partitions are uniform and a mega-host CANNOT skew this stage
+        # (the backlog skew was already absorbed by the salted top-k select).
+        # html therefore never goes through an exchange; only the narrow
+        # extracted rows shuffle for the dedup window.
+        got = got.withColumn(
             "content_hash",
             F.xxhash64(F.coalesce(F.col("html"), F.lit(b""))),
-        ).drop("html", "page_lang", "_denied")  # narrow before materializing
+        )
+        got = with_extracted(got).drop(
+            "html", "page_lang", "_denied"
+        )  # narrow before the window exchange
         dup_w = W.partitionBy("content_hash").orderBy("seq")
         got = got.withColumn("_dup_rn", F.row_number().over(dup_w))
         got = got.join(

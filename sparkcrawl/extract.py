@@ -37,19 +37,33 @@ EXTRACT_SCHEMA = T.StructType(
 )
 
 
+def _unescape(s: str) -> str:
+    # html.unescape is expensive; the '&' guard skips it for the common case
+    return unescape(s) if "&" in s else s
+
+
 def _extract_one(html: bytes | str | None) -> tuple:
     if html is None:
         return ("", [], "", "")
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
-    body = _SCRIPT_STYLE.sub("", html)
-    body = _COMMENT.sub("", body)
-    text = _WS.sub(" ", unescape(_TAG.sub("", body))).strip()
-    links = [unescape(m) for m in _HREF.findall(body)]
+    body = html
+    if "<script" in body or "<style" in body or "<SCRIPT" in body:
+        body = _SCRIPT_STYLE.sub("", body)
+    if "<!--" in body:
+        body = _COMMENT.sub("", body)
+    # " ".join(split()) == collapse-\s+-and-strip (same Unicode whitespace
+    # set as re \s) but runs in C without a third regex pass
+    text = " ".join(_unescape(_TAG.sub("", body)).split())
+    links = [_unescape(m) for m in _HREF.findall(body)]
     lang_m = _LANG.search(body)
     lang = lang_m.group(1).lower() if lang_m else ""
     title_m = _TITLE.search(body)
-    title = _WS.sub(" ", unescape(_TAG.sub("", title_m.group(1)))).strip() if title_m else ""
+    title = (
+        " ".join(_unescape(_TAG.sub("", title_m.group(1))).split())
+        if title_m
+        else ""
+    )
     return (text, links, lang, title)
 
 

@@ -61,25 +61,31 @@ def eligible_hosts_filter(
     return f.filter(ok).drop("crawl_delay", "last_round")
 
 
-def select_per_host(frontier: DataFrame, host_priority: DataFrame) -> DataFrame:
-    """Pick the first cap(host) rows by seq per host (two-phase top-k).
+def select_per_host(frontier: DataFrame, host_priority: DataFrame,
+                    frontier_size: int | None = None,
+                    twophase_threshold: int = 2_000_000) -> DataFrame:
+    """Pick the first cap(host) rows by seq per host.
 
-    Input must already be delay-filtered. Adds a ``cap`` column en route and
-    drops it. Returns the selected rows with original columns.
+    Input must already be delay-filtered. The salted phase-1 window is a
+    pure optimization for mega-host backlogs (shrinks the per-host sort
+    from O(backlog) to O(SALT·cap)); it is skipped when the frontier is
+    known to be small — the phase-2 window alone defines the semantics, so
+    results are identical either way (tested).
     """
     f = frontier.join(F.broadcast(host_priority), "host", "left").withColumn(
         "cap", cap_col(F.coalesce(F.col("priority"), F.lit(DEFAULT_PRIORITY)))
     )
-    salt = F.pmod(F.xxhash64("url_norm"), F.lit(SALT_BUCKETS))
-    w1 = W.partitionBy("host", salt).orderBy("seq")
-    f = f.withColumn("_rn1", F.row_number().over(w1)).filter(
-        F.col("_rn1") <= F.col("cap")
-    )
+    if frontier_size is None or frontier_size > twophase_threshold:
+        salt = F.pmod(F.xxhash64("url_norm"), F.lit(SALT_BUCKETS))
+        w1 = W.partitionBy("host", salt).orderBy("seq")
+        f = f.withColumn("_rn1", F.row_number().over(w1)).filter(
+            F.col("_rn1") <= F.col("cap")
+        ).drop("_rn1")
     w2 = W.partitionBy("host").orderBy("seq")
     f = f.withColumn("_rn2", F.row_number().over(w2)).filter(
         F.col("_rn2") <= F.col("cap")
     )
-    return f.drop("_rn1", "_rn2", "cap", "priority")
+    return f.drop("_rn2", "cap", "priority")
 
 
 # ---- pure-Python twin (the spec; used by tests/oracle.py) -------------------

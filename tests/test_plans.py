@@ -28,8 +28,13 @@ def test_robots_join_is_broadcast(spark, fixture_paths):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
-def test_parquet_filter_pushdown(spark, fixture_paths):
-    pages = spark.read.parquet(fixture_paths["pages"])
+def test_parquet_filter_pushdown(spark, fixture_paths, tmp_path):
+    # copy to a unique path: other tests may have CACHED the shared fixture
+    # (a cached relation scans memory, hiding PushedFilters)
+    src = spark.read.parquet(fixture_paths["pages"])
+    path = str(tmp_path / "pages_pd")
+    src.write.parquet(path)
+    pages = spark.read.parquet(path)
     q = pages.filter(F.col("lang") == "en").select("url")
     plan = _plan(q)
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
