@@ -487,29 +487,33 @@ GROUP BY e.doc_id, ks.k
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    """N-gram Jaccard near-dup pairs (inverted-index join, threshold 0.2)."""
+    """N-gram Jaccard near-dup pairs (inverted-index join, threshold 0.2,
+    same-source blocking — bounds the join on low-entropy corpora)."""
     d = _t(spark, sf_dir, "documents")
-    return textops.jaccard_pairs(d, threshold=0.2, shingle_n=3)
+    return textops.jaccard_pairs(
+        d, threshold=0.2, shingle_n=3, block_col="source"
+    )
 
 
 Q_JACCARD_PAIRS_SQL = """
 WITH sh AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          list_distinct(
            [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
             for i in range(1, greatest(len(tokens) - 1, 1))]) AS shingles
   FROM (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS tokens
     FROM documents
   )
 ),
 inv AS (
-  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+  SELECT doc_id, source, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
 ),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS i
-  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM inv a JOIN inv b
+    ON a.s = b.s AND a.doc_id < b.doc_id AND a.source = b.source
   GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b,
@@ -653,10 +657,11 @@ FROM documents
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (pandas-UDF signatures + pigeonhole blocking).
-    Rows-only check: 64-bit md5 bit arithmetic is impractical in SQL."""
+    """SimHash near-dup pairs (pandas-UDF signatures + pigeonhole blocking +
+    same-source restriction). Rows-only check: 64-bit md5 bit arithmetic is
+    impractical in SQL."""
     d = _t(spark, sf_dir, "documents")
-    return textops.simhash_near_dups(d, max_hamming=10)
+    return textops.simhash_near_dups(d, max_hamming=10, block_col="source")
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):

@@ -174,25 +174,32 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (or all pairs sharing ≥1
     shingle if no candidates given — the token-inverted-index join).
 
+    ``block_col`` optionally restricts pairs to the same block (e.g. same
+    source/shard) — the standard way to bound the inverted-index join when
+    the vocabulary is small relative to the corpus.
     Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
     """
-    sh = with_shingles(docs, shingle_n, text_col).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct("shingles").alias("sh"),
-        F.size(F.array_distinct("shingles")).alias("n_sh"),
-    )
-    inv = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    cols = [F.col(id_col).alias("id"),
+            F.array_distinct("shingles").alias("sh"),
+            F.size(F.array_distinct("shingles")).alias("n_sh")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    sh = with_shingles(docs, shingle_n, text_col).select(*cols)
+    inv_cols = ["id", "n_sh"] + (["blk"] if block_col else [])
+    inv = sh.select(*inv_cols, F.explode("sh").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.id") < F.col("b.id")
+    )
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .groupBy(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
@@ -246,16 +253,19 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      block_col: str | None = None) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, blocked on 16-bit chunks:
     two sigs within hamming d<=3 share at least one of 4 exact 16-bit chunks
-    (pigeonhole), so the join key is (chunk_idx, chunk_value) — no all-pairs."""
-    sig = docs.select(
-        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig")
-    )
+    (pigeonhole), so the join key is (chunk_idx, chunk_value) — no all-pairs.
+    ``block_col`` adds a same-block restriction for low-entropy corpora."""
+    cols = [F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    sig = docs.select(*cols)
+    chunk_cols = ["id", "sig"] + (["blk"] if block_col else [])
     chunks = sig.select(
-        "id",
-        "sig",
+        *chunk_cols,
         F.posexplode(
             F.array(
                 *[
@@ -266,13 +276,15 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         ).alias("chunk_idx", "chunk_val"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
+    cond = (
+        (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
