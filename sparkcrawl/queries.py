@@ -653,6 +653,141 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# XPath channel subsystem (reference Q1-Q4, xpathengine/XPathEngineImpl.java)
+# ---------------------------------------------------------------------------
+
+# Validation goldens: expressions with hand-derived expected validity under
+# the reference grammar (pinned by its JUnit suite,
+# test/edu/upenn/cis455/XPathEngineImplTest.java:146-188,110-116). The Spark
+# side runs the real tokenizer+parser in a pandas UDF; the oracle is the
+# golden table.
+_XPATH_VALID_CASES = [
+    ("/foo/bar/xyz", True),
+    ('/foo/bar[@att="123"]', True),
+    ('/foo/bar[contains(text(),"someSubstring")]', True),
+    ('/a/b/c[text()="TheEntireText"]', True),
+    ("/foo[anotherElement]", True),
+    ("/this/that[something/else]", True),
+    ('/d/e/f[foo[text()="something"]][bar]', True),
+    ('/a/bar/xyz[text() =      "EveryDayWeLIT"]', True),
+    ('/rss/channel/title[text() = "NYT > Sports"]', True),
+    ("//foo/bar/xyz", False),
+    ("/", False),
+    ("//", False),
+    ("/node/[]", False),
+    ("/foo/", False),
+    ("/foo[", False),
+    ("/foo[text()]", False),
+    ("/@x", False),
+]
+
+
+def q_xpath_valid(spark, sf_dir):
+    """Q1+Q2 tokenizer+validator (XPathEngineImpl.java:45-97,105-268) over
+    the golden expression set; executed distributed via pandas UDF."""
+    from sparkcrawl.xpath import valid_udf as _valid
+
+    df = spark.createDataFrame(
+        [(i, e) for i, (e, _) in enumerate(_XPATH_VALID_CASES)],
+        "idx long, expr string",
+    )
+    return df.select("idx", _valid("expr").alias("valid"))
+
+
+Q_XPATH_VALID_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"({i}, {str(v).upper()})" for i, (_, v) in enumerate(_XPATH_VALID_CASES)
+) + ") t(idx, valid)"
+
+
+# Match + channel queries: synthesize an RSS doc per documents row with a
+# KNOWN structure on the Spark side, run the real DOM matcher, and have the
+# oracle compute the same predicates relationally (title text() equality ->
+# doc_id equality; description contains -> LIKE; @id -> doc_id % 3).
+_XPATH_MATCH_EXPRS = [
+    '/rss/channel/title[text()="doc 7"]',
+    '/rss/channel/item/description[contains(text(),"the")]',
+    '/rss/channel/item[@id="i1"]',
+    "/rss/channel/missing",
+    "/rss[channel[item]]",
+]
+
+
+def _rss_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    esc = F.coalesce(F.col("text"), F.lit(""))
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<rss version="2.0"><channel><title>doc '),
+            F.col("doc_id").cast("string"),
+            F.lit('</title><item id="i'),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('"><description>'),
+            esc,
+            F.lit("</description></item></channel></rss>"),
+        ).alias("doc"),
+    )
+
+
+def q_xpath_match(spark, sf_dir):
+    """Q3 DOM matcher (XPathEngineImpl.java:291-449): evaluate(d) over all
+    expressions in one Arrow pass per document."""
+    from sparkcrawl.xpath import evaluate_matches
+
+    return evaluate_matches(
+        _rss_docs(spark, sf_dir), _XPATH_MATCH_EXPRS, doc_col="doc"
+    )
+
+
+Q_XPATH_MATCH_SQL = """
+WITH ks AS (SELECT unnest(range(0, 5)) AS k),
+d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+SELECT d.doc_id AS doc_id, CAST(ks.k AS BIGINT) AS xpath_idx,
+       CASE ks.k
+         WHEN 0 THEN d.doc_id = 7
+         WHEN 1 THEN d.t LIKE '%the%'
+         WHEN 2 THEN d.doc_id % 3 = 1
+         WHEN 3 THEN FALSE
+         ELSE TRUE
+       END AS matched
+FROM d CROSS JOIN ks
+"""
+
+
+def q_xpath_channels(spark, sf_dir):
+    """Q4 channel subscriptions (storage/ChannelStorage.java:7-57) as a
+    DataFrame join: channels × matched docs -> per-channel doc counts."""
+    from sparkcrawl.xpath import channel_matches
+
+    channels = spark.createDataFrame(
+        [
+            ("all-rss", "/rss[channel]", "owner0"),
+            ("has-the", _XPATH_MATCH_EXPRS[1], "owner1"),
+            ("mod0", '/rss/channel/item[@id="i0"]', "owner2"),
+        ],
+        "channel string, xpath string, owner string",
+    )
+    cm = channel_matches(
+        _rss_docs(spark, sf_dir), channels, doc_col="doc", key_col="doc_id"
+    )
+    return cm.groupBy("channel").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+Q_XPATH_CHANNELS_SQL = """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+SELECT 'all-rss' AS channel, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc FROM d
+UNION ALL
+SELECT 'has-the', COUNT(*), MIN(doc_id) FROM d WHERE t LIKE '%the%'
+UNION ALL
+SELECT 'mod0', COUNT(*), MIN(doc_id) FROM d WHERE doc_id % 3 = 0
+"""
+
+
 # rows-only queries (no SQL oracle — non-SQL-expressible or hash-mismatched)
 
 
@@ -712,6 +847,9 @@ QUERIES = {
     "quality": (q_quality, Q_QUALITY_SQL),
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
     "fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
+    "xpath_valid": (q_xpath_valid, Q_XPATH_VALID_SQL),
+    "xpath_match": (q_xpath_match, Q_XPATH_MATCH_SQL),
+    "xpath_channels": (q_xpath_channels, Q_XPATH_CHANNELS_SQL),
     # rows-only (no oracle)
     "simhash_pairs": (q_simhash_pairs, None),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
