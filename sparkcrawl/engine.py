@@ -54,8 +54,13 @@ class CrawlConfig:
 # ---------------------------------------------------------------------------
 
 
-def dense_seq(df: DataFrame, order_cols: list[str], base: int) -> DataFrame:
+def dense_seq(
+    df: DataFrame, order_cols: list[str], base: int,
+    size_bound: int | None = None,
+) -> tuple[DataFrame, int]:
     """Add ``seq`` = base + global dense rank of (order_cols) — scale-safe.
+    Returns (df_with_seq, total_rows): the total falls out of the offset
+    computation, so callers never need a separate count() job.
 
     A plain ``row_number() OVER (ORDER BY ...)`` funnels ALL rows through one
     partition. Instead: range-repartition on the key (ordered, disjoint
@@ -63,9 +68,16 @@ def dense_seq(df: DataFrame, order_cols: list[str], base: int) -> DataFrame:
     of the preceding partitions (a tiny driver-side prefix sum). The result
     is identical to the global rank for any partitioning, so sampling
     nondeterminism in repartitionByRange cannot affect values.
+
+    ``size_bound`` — an upper bound on len(df) if the caller knows one.
+    Small batches collapse to ONE range partition: RangePartitioner skips
+    its sampling pass for a single partition, saving a job; the result is
+    identical (the prefix sum is trivially 0).
     """
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if size_bound is not None and size_bound <= 100_000:
+        n = 1
     d = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -87,10 +99,10 @@ def dense_seq(df: DataFrame, order_cols: list[str], base: int) -> DataFrame:
     else:
         off = F.lit(0)
     w = W.partitionBy("_pid").orderBy(*order_cols)
-    return (
-        d.withColumn("seq", F.lit(base) + off + F.row_number().over(w))
-        .drop("_pid")
-    )
+    out = d.withColumn(
+        "seq", F.lit(base) + off + F.row_number().over(w)
+    ).drop("_pid")
+    return out, acc
 
 
 def _empty(spark: SparkSession, schema) -> DataFrame:
@@ -133,12 +145,28 @@ class CrawlEngine:
         self.page_meta = page_meta if page_meta is not None else _empty(
             spark, S.PAGE_META
         )
+        # Pre-shape the web for the per-round fetch join: rename the join
+        # key BEFORE partition+cache so the cached plan's hash partitioning
+        # (url_norm, N) satisfies the join's required distribution — each
+        # round then exchanges only the (small) selected-frontier side and
+        # the html payload NEVER re-shuffles. This is the local analogue of
+        # an Iceberg storage-bucketed join on bucket(url).
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self._pg = self.pages.select(
+            F.col("url").alias("url_norm"),
+            "warc_ts", "html",
+            F.col("lang").alias("page_lang"),
+        )
+        self._mt = self.page_meta.select(
+            F.col("url").alias("url_norm"),
+            "http_status", "redirect_to", "content_type", "content_length",
+        )
         if cfg.cache_web:
             # the synthetic web is re-joined every round; pin it in memory
             # (cluster analogue: Iceberg bucket pruning + OS page cache keep
             # the hot fetch working set off cold storage)
-            self.pages = self.pages.cache()
-            self.page_meta = self.page_meta.cache()
+            self._pg = self._pg.repartition(n_shuffle, "url_norm").cache()
+            self._mt = self._mt.repartition(n_shuffle, "url_norm").cache()
         rb = robots_df if robots_df is not None else _empty(spark, S.ROBOTS)
         # effective robots block per host — tiny, computed once, broadcast.
         self.host_rules = robots.effective_rules(rb, cfg.agent).cache()
@@ -198,7 +226,7 @@ class CrawlEngine:
         s = s.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") == 1
         ).drop("_rn")
-        s = dense_seq(s, ["url"], base=0)
+        s, _ = dense_seq(s, ["url"], base=0)
         frontier = s.select(
             "url_norm", "host", "path", "depth", "seq",
             F.lit(0).alias("round_added"),
@@ -268,19 +296,20 @@ class CrawlEngine:
         )
 
         # 4. "fetch": join the synthetic web (pages + protocol sidecar).
-        # pages.url is canonical, so this is an equi-join on url_norm; at
-        # scale both sides are bucketed by url hash (storage-partitioned
-        # join under Iceberg); here AQE picks the strategy.
-        pg = self.pages.select(
-            F.col("url").alias("url_norm"),
-            "warc_ts", "html",
-            F.col("lang").alias("page_lang"),
+        # pages.url is canonical, so this is an equi-join on url_norm. The
+        # html payload must never shuffle or sort wholesale: first a
+        # KEY-ONLY broadcast semi-join prunes the cached pages scan to the
+        # selected rows (one streaming pass over the cache, no sort), then
+        # the outer join runs on the pruned (≤ selection-sized) side. At
+        # 10^10 scale the broadcast of selected keys is replaced by an
+        # Iceberg storage-bucketed join on bucket(url) — both sides
+        # co-partitioned, same no-reshuffle property (ARCHITECTURE.md §4).
+        sel_keys = F.broadcast(sel.select("url_norm"))
+        pg_hits = self._pg.join(sel_keys, "url_norm", "left_semi")
+        mt_hits = self._mt.join(sel_keys, "url_norm", "left_semi")
+        fx = sel.join(pg_hits, "url_norm", "left").join(
+            mt_hits, "url_norm", "left"
         )
-        meta = self.page_meta.select(
-            F.col("url").alias("url_norm"),
-            "http_status", "redirect_to", "content_type", "content_length",
-        )
-        fx = sel.join(pg, "url_norm", "left").join(meta, "url_norm", "left")
         has_page = F.col("html").isNotNull() | F.col("http_status").isNotNull()
         status = F.coalesce(F.col("http_status"), F.lit(200))
         ctype = F.coalesce(F.col("content_type"), F.lit("text/html"))
@@ -301,31 +330,6 @@ class CrawlEngine:
             .otherwise(F.lit("get"))
         )
         fx = fx.withColumn("_pre", pre_action).localCheckpoint(eager=False)
-
-        # single pass gives both the selection size and the branch mix —
-        # no standalone count() jobs (per-round job fanout costs wall time)
-        pre_counts = {
-            r["_pre"]: r["n"]
-            for r in fx.groupBy("_pre").agg(F.count("*").alias("n")).collect()
-        }
-        n_selected = sum(pre_counts.values())
-        tk("select+fetch_join")
-        if n_selected == 0:
-            # all frontier rows delay-deferred (or frontier empty): commit
-            # an empty round so the virtual clock advances.
-            store.stage_append_rows(
-                "metrics",
-                [(round_no, 0, 0, 0, 0, 0, 0, 0,
-                  int((time.time() - t0) * 1000))],
-                S.METRICS,
-            )
-            meta = dict(prev_meta)
-            meta["round"] = round_no
-            store.commit(meta)
-            selected.unpersist()
-            fx.unpersist()
-            return {"n_selected": 0, "n_admitted": 0, "n_fetched": 0,
-                    "n_frontier": int(meta.get("n_frontier", 0))}
 
         leftover = frontier.join(
             selected.select("url_norm"), "url_norm", "left_anti"
@@ -401,28 +405,62 @@ class CrawlEngine:
 
         # 8. seen anti-join (incremental-Bloom-prefiltered) + deterministic seq
         cand = cand.localCheckpoint(eager=False)
+        # count() doubles as the materialization barrier for the whole round
+        # chain (politeness select -> fetch join -> extract -> dedup ->
+        # candidates): every downstream job — including dense_seq's range
+        # sampling pass, which would otherwise re-run the chain — reads the
+        # pinned checkpoints.
+        n_links = cand.count()
+        tk("materialize")
         if cfg.use_bloom:
             new_rows = seenmod.anti_join_with_bloom(cand, seen, self.bloom())
         else:
             new_rows = seenmod.anti_join_seen(cand, seen, use_bloom=False)
-        new_rows = dense_seq(
-            new_rows, ["parent_seq", "link_idx"], base=round_no << ROUND_SHIFT
+        # dense_seq's offset prefix sum doubles as the admitted count — no
+        # separate count() job.
+        new_rows, n_admitted = dense_seq(
+            new_rows, ["parent_seq", "link_idx"],
+            base=round_no << ROUND_SHIFT, size_bound=n_links,
         )
+        tk("seen+seq")
 
-        # ---- metric aggs (also materialize the caches the writes reuse) ----
-        act_counts = {
+        # ---- counters: ONE pass over the per-row action column (branch mix
+        # of non-GET rows + extract outcomes) instead of per-frame collects;
+        # the same frame is the trace that gets written below ----
+        traced = (
+            fx.filter(F.col("_pre") != "get")
+            .select("seq", "url_norm", "host", F.col("_pre").alias("action"))
+            .unionByName(got.select("seq", "url_norm", "host", "action"))
+        ).localCheckpoint(eager=False)
+        counts = {
             r["action"]: r["n"]
-            for r in got.groupBy("action").agg(F.count("*").alias("n")).collect()
+            for r in traced.groupBy("action").agg(
+                F.count("*").alias("n")
+            ).collect()
         }
-        tk("extract+dedup")
-        n_fetched = act_counts.get("fetched", 0)
-        n_get = sum(act_counts.values())
-        n_dup = act_counts.get("dup_content", 0)
-        n_denied = pre_counts.get("robots_denied", 0)
-        n_links = cand.count()
-        tk("canonicalize+admission")
-        n_admitted = new_rows.count()
-        tk("seen_antijoin+seq")
+        n_selected = sum(counts.values())
+        tk("counters")
+        if n_selected == 0:
+            # all frontier rows delay-deferred (or frontier empty): commit
+            # an empty round so the virtual clock advances; the frontier
+            # table is left untouched (no rewrite of deferred rows).
+            store.stage_append_rows(
+                "metrics",
+                [(round_no, 0, 0, 0, 0, 0, 0, 0,
+                  int((time.time() - t0) * 1000))],
+                S.METRICS,
+            )
+            meta = dict(prev_meta)
+            meta["round"] = round_no
+            store.commit(meta)
+            selected.unpersist()
+            fx.unpersist()
+            return {"n_selected": 0, "n_admitted": 0, "n_fetched": 0,
+                    "n_frontier": int(meta.get("n_frontier", 0))}
+        n_fetched = counts.get("fetched", 0)
+        n_dup = counts.get("dup_content", 0)
+        n_get = n_fetched + n_dup + counts.get("not_html_lang", 0)
+        n_denied = counts.get("robots_denied", 0)
 
         # ---- stage writes: independent jobs, submitted concurrently so the
         # 7 small write jobs overlap instead of paying 7 sequential
@@ -453,11 +491,6 @@ class CrawlEngine:
         ).unionByName(got_hosts)
         # trace: every selected row gets exactly one action; ord ranks the
         # SELECTED set only (≤ hosts×cap rows), never the corpus
-        traced = (
-            fx.filter(F.col("_pre") != "get")
-            .select("seq", "url_norm", "host", F.col("_pre").alias("action"))
-            .unionByName(got.select("seq", "url_norm", "host", "action"))
-        )
         ord_w = W.partitionBy(F.lit(1)).orderBy("seq")
         trace = traced.select(
             F.lit(round_no).alias("round"),

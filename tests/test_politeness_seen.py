@@ -84,7 +84,8 @@ def test_dense_seq_global_rank(spark):
         (F.col("id") * 2_654_435_761 % 1_000_003).alias("key"),
         F.col("id").alias("tie"),
     ).repartition(13)
-    out = dense_seq(df, ["key", "tie"], base=1000)
+    out, total = dense_seq(df, ["key", "tie"], base=1000)
+    assert total == 5_000
     rows = sorted(
         [(r["key"], r["tie"], r["seq"]) for r in out.collect()],
         key=lambda t: (t[0], t[1]),
