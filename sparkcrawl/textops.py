@@ -183,6 +183,18 @@ def jaccard_pairs(
     source/shard) — the standard way to bound the inverted-index join when
     the vocabulary is small relative to the corpus.
     Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
+
+    Scale strategy (PPJoin-style prefix filtering): two docs with
+    Jaccard >= t must share a shingle among the first
+    ``n - ceil(t*n) + 1`` of their shingles under ANY fixed global total
+    order. We order by xxhash64(shingle) INSIDE the array (array_sort +
+    slice — no frequency pass, no window, no shuffle to build prefixes)
+    and join on the hash itself; hash collisions only add candidates,
+    which the exact array_intersect verification then discards, so the
+    output is identical to the naive inverted-index join. (A
+    frequency-ascending order would prune hot shingles harder at the cost
+    of a global frequency join; on measured corpora the hash order's
+    plan — one fewer shuffle over the full index — is faster.)
     """
     cols = [F.col(id_col).alias("id"),
             F.array_distinct("shingles").alias("sh"),
@@ -190,27 +202,55 @@ def jaccard_pairs(
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     sh = with_shingles(docs, shingle_n, text_col).select(*cols)
-    inv_cols = ["id", "n_sh"] + (["blk"] if block_col else [])
-    inv = sh.select(*inv_cols, F.explode("sh").alias("shingle"))
-    a, b = inv.alias("a"), inv.alias("b")
+    blk = ["blk"] if block_col else []
+
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh"))
+        + 1
+    ).cast("int")
+    prefix = sh.select(
+        "id", "n_sh", *blk,
+        F.explode(
+            F.slice(
+                F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))),
+                F.lit(1), F.greatest(prefix_len, F.lit(0)),
+            )
+        ).alias("shingle"),
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.id") < F.col("b.id")
     )
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    inter = (
+    # length filter: jaccard <= min(na,nb)/max(na,nb), so mismatched sizes
+    # can't reach the threshold — prune before the verify join
+    cond = cond & (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+        >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    )
+    cand = (
         a.join(b, cond)
-        .groupBy(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
     )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
-    jac = inter.withColumn(
+        cand = cand.join(candidates, ["doc_a", "doc_b"], "left_semi")
+
+    sa = sh.select(
+        F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = sh.select(
+        F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    pairs = cand.join(sa, "doc_a").join(sb, "doc_b").withColumn(
+        "inter", F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    jac = pairs.withColumn(
         "jaccard",
         F.round(
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
@@ -226,23 +266,39 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# token -> ±1 bit-vector memo. Tokens are Zipfian in any real (or
+# synthetic) corpus, so the md5+unpack work amortizes to ~once per
+# vocabulary word per executor. Pure function of the token; capped.
+_SIMHASH_TOK_CACHE: dict[str, np.ndarray] = {}
+_SIMHASH_CACHE_CAP = 1 << 20
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def _tok_vec(tok: str) -> np.ndarray:
+    v = _SIMHASH_TOK_CACHE.get(tok)
+    if v is None:
+        h = struct.unpack(
+            "<Q", hashlib.md5(tok.encode("utf-8")).digest()[:8]
+        )[0]
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        v = np.where(bits.astype(bool), 1, -1).astype(np.int32)
+        if len(_SIMHASH_TOK_CACHE) < _SIMHASH_CACHE_CAP:
+            _SIMHASH_TOK_CACHE[tok] = v
+    return v
+
+
 def _simhash_batch(texts: pd.Series) -> pd.Series:
+    from collections import Counter
+
     out = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         if not t:
             continue
         acc = np.zeros(64, dtype=np.int64)
-        for tok in t.split():
-            h = struct.unpack(
-                "<Q", hashlib.md5(tok.encode("utf-8")).digest()[:8]
-            )[0]
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        sig = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
+        # multiplicity-weighted sum == summing per token occurrence
+        for tok, c in Counter(t.split()).items():
+            acc += c * _tok_vec(tok)
+        out[i] = ((acc > 0).astype(np.uint64) * _POW2).sum().astype(np.int64)
     return pd.Series(out)
 
 
