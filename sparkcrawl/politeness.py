@@ -49,10 +49,21 @@ def eligible_hosts_filter(
     delay is in ROUNDS (1 round == 1 virtual second, SURVEY §2.3 R3):
     a host fetched in round r with delay d is eligible again at r + d.
     Hosts with no delay (or never fetched) are always eligible.
+
+    Scale note: only hosts that HAVE a crawl-delay rule can ever be
+    deferred, so both broadcasts are pruned to that subset — the clock
+    table (one row per ever-fetched host, ~#hosts at 10^10-URL scale)
+    never broadcasts wholesale.
     """
-    f = frontier.join(
-        F.broadcast(host_rules.select("host", "crawl_delay")), "host", "left"
-    ).join(F.broadcast(host_clock), "host", "left")
+    delayed = host_rules.filter(
+        F.col("crawl_delay").isNotNull()
+    ).select("host", "crawl_delay")
+    clock_rel = host_clock.join(
+        F.broadcast(delayed.select("host")), "host", "left_semi"
+    )
+    f = frontier.join(F.broadcast(delayed), "host", "left").join(
+        F.broadcast(clock_rel), "host", "left"
+    )
     ok = (
         F.col("crawl_delay").isNull()
         | F.col("last_round").isNull()
