@@ -807,12 +807,45 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> feature vector via
-    mapInPandas (decode kernel stubbed; plumbing real). Rows-only."""
+    """Multimodal plumbing: binary payload -> feature vector via mapInPandas
+    (decode kernel stubbed with a deterministic byte histogram; plumbing —
+    schema, Arrow batches, skew-free partitioning — real). The payload is
+    synthesized deterministically (multimodal.synth_media), so the oracle
+    reproduces the whole decode relationally; features explode to scalar
+    rows for a float-stable compare."""
     from sparkcrawl import multimodal
 
     media = multimodal.synth_media(spark, 128)
-    return multimodal.decode_features(media)
+    feats = multimodal.decode_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.posexplode("feature").alias("dim_idx", "fval"),
+    ).withColumn("dim_idx", F.col("dim_idx").cast("long"))
+
+
+# payload[j] = (i*131 + j*17) % 256 for j in [0, 64+i) — synth_media's
+# definition; bucket = byte >> 5; feature[b] = round(count_b / n_bytes, 6)
+Q_MULTIMODAL_FEATURES_SQL = """
+WITH m AS (SELECT unnest(range(0, 128)) AS media_id),
+b AS (
+  SELECT media_id, unnest(range(0, 64 + media_id)) AS j FROM m
+),
+v AS (
+  SELECT media_id, ((media_id * 131 + j * 17) % 256) // 32 AS bucket FROM b
+),
+cnt AS (
+  SELECT media_id, bucket, COUNT(*) AS c FROM v GROUP BY media_id, bucket
+),
+dims AS (SELECT unnest(range(0, 8)) AS dim_idx)
+SELECT m.media_id AS media_id,
+       CASE m.media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       64 + m.media_id AS n_bytes,
+       CAST(d.dim_idx AS BIGINT) AS dim_idx,
+       round(coalesce(c.c, 0) / CAST(64 + m.media_id AS DOUBLE), 6) AS fval
+FROM m CROSS JOIN dims d
+LEFT JOIN cnt c ON c.media_id = m.media_id AND c.bucket = d.dim_idx
+"""
 
 
 def q_label_centroid(spark, sf_dir):
@@ -853,6 +886,6 @@ QUERIES = {
     # rows-only (no oracle)
     "simhash_pairs": (q_simhash_pairs, None),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
     "label_centroid": (q_label_centroid, None),
 }
