@@ -800,10 +800,41 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Banded-LSH candidate pairs via xxhash64 minhash (engine hash path).
-    Rows-only: xxhash64 is Spark-specific."""
+    """Banded-LSH candidate pairs (md5-keyed minhash so the oracle
+    reproduces the buckets; the engine path uses xxhash64 with the same
+    code). 16 hashes / 8 bands of 2 rows."""
     d = _t(spark, sf_dir, "documents")
-    return textops.lsh_candidate_pairs(d, n_hashes=16, bands=8)
+    return textops.lsh_candidate_pairs(
+        d, n_hashes=16, bands=8, hash_fn="md5"
+    )
+
+
+Q_MINHASH_LSH_PAIRS_SQL = """
+WITH expl AS (
+  SELECT doc_id, unnest(
+    [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+     for i in range(1, greatest(len(tokens) - 1, 1))]) AS s
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+    FROM documents
+  )
+),
+ks AS (SELECT unnest(range(0, 16)) AS k),
+sig AS (
+  SELECT e.doc_id, ks.k,
+         MIN(md5(CAST(ks.k AS VARCHAR) || ':' || e.s)) AS mh
+  FROM expl e CROSS JOIN ks
+  GROUP BY e.doc_id, ks.k
+),
+band AS (
+  SELECT doc_id, k // 2 AS band,
+         md5(string_agg(mh, ',' ORDER BY k)) AS bucket
+  FROM sig GROUP BY doc_id, k // 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band a JOIN band b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -885,7 +916,7 @@ QUERIES = {
     "xpath_channels": (q_xpath_channels, Q_XPATH_CHANNELS_SQL),
     # rows-only (no oracle)
     "simhash_pairs": (q_simhash_pairs, None),
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, Q_MINHASH_LSH_PAIRS_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
     "label_centroid": (q_label_centroid, None),
 }

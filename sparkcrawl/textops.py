@@ -94,18 +94,22 @@ def with_shingles(docs: DataFrame, n: int = 3,
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """doc -> array of n_hashes minhash values.
 
-    Permutation k is keyed by salting the shingle: min(xxhash64(k || s)).
+    Permutation k is keyed by salting the shingle: min(hash(k || s)).
     Entirely JVM-side: transform + aggregate over the shingle array.
+    hash_fn: 'xxhash64' (engine default, fastest) or 'md5' (hex-string
+    minima — reproducible by external oracles like DuckDB).
     """
     d = with_shingles(docs, shingle_n, text_col)
+    hf = F.xxhash64 if hash_fn == "xxhash64" else F.md5
 
     def _salted(k: int):
         # single-arg lambda: a 2-arg lambda would receive the element INDEX
         # as its second argument from F.transform and shadow k
-        return lambda s: F.xxhash64(F.concat(F.lit(f"{k}:"), s))
+        return lambda s: hf(F.concat(F.lit(f"{k}:"), s))
 
     sig = F.array(
         *[
@@ -123,21 +127,25 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing any band bucket.
 
     Each signature splits into ``bands`` bands of n_hashes/bands rows; a
     band's bucket key is the hash of its values; pairs form by self-join
     WITHIN (band, bucket) — the shuffle key is the bucket, never all-pairs.
+    hash_fn as in minhash_signatures; docs with no shingles never pair.
     """
     rows = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, shingle_n, text_col)
+    hf = F.xxhash64 if hash_fn == "xxhash64" else F.md5
+    sig = minhash_signatures(docs, n_hashes, shingle_n, text_col, hash_fn)
+    sig = sig.filter(F.element_at("minhash", 1).isNotNull())
     banded = sig.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
+                    hf(
                         F.concat_ws(
                             ",",
                             *[
