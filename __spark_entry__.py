@@ -65,7 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query; rows-only ops omitted
-    (simhash/minhash-lsh pair generation, multimodal decode, fp-order-
-    sensitive centroid cosines)."""
+    """DuckDB-equivalent ANSI SQL per query. The single rows-only omission
+    is label_centroid (float-aggregation-order-sensitive centroid cosines);
+    every other query — including simhash/minhash-LSH pair generation and
+    the multimodal decode — is value-hash-verified."""
     return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

@@ -792,11 +792,65 @@ SELECT 'mod0', COUNT(*), MIN(doc_id) FROM d WHERE doc_id % 3 = 0
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (pandas-UDF signatures + pigeonhole blocking +
-    same-source restriction). Rows-only check: 64-bit md5 bit arithmetic is
-    impractical in SQL."""
+    """SimHash near-dup pairs (pandas-UDF signatures + pigeonhole 16-bit
+    blocking + same-source restriction). The oracle rebuilds the 64-bit
+    Charikar signature from md5 hex digits in SQL (exact signed-64
+    arithmetic), so the pair set value-matches."""
     d = _t(spark, sf_dir, "documents")
     return textops.simhash_near_dups(d, max_hamming=10, block_col="source")
+
+
+# signature: per token, md5's first 8 bytes little-endian; bit b votes
+# +count/-count; sig bit b set iff vote > 0 (textops._simhash_batch).
+Q_SIMHASH_PAIRS_SQL = """
+WITH tok AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+    FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+  ) GROUP BY doc_id, t
+),
+hx AS (SELECT doc_id, c, md5(t) AS h FROM tok),
+byts AS (
+  SELECT doc_id, c, j.j,
+         (strpos('0123456789abcdef', substr(h, j.j*2+1, 1)) - 1) * 16 +
+         (strpos('0123456789abcdef', substr(h, j.j*2+2, 1)) - 1) AS byte
+  FROM hx, (SELECT unnest(range(0, 8)) AS j) j
+),
+votes AS (
+  SELECT doc_id, j*8 + b.b AS bitpos,
+         SUM(CASE WHEN (byte // (1 << b.b)) % 2 = 1 THEN c ELSE -c END) AS v
+  FROM byts, (SELECT unnest(range(0, 8)) AS b) b
+  GROUP BY doc_id, j*8 + b.b
+),
+sigs0 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN
+               CASE WHEN bitpos = 63 THEN -9223372036854775808
+                    ELSE (CAST(1 AS BIGINT) << bitpos) END
+             ELSE 0 END) AS sig
+  FROM votes GROUP BY doc_id
+),
+sigs AS (
+  -- SUM() yields HUGEINT; cast back to signed-64 so xor/bit_count below
+  -- operate on the same 64-bit domain as the engine
+  SELECT d.doc_id, d.source, CAST(coalesce(s.sig, 0) AS BIGINT) AS sig
+  FROM documents d LEFT JOIN sigs0 s ON d.doc_id = s.doc_id
+),
+chunks AS (
+  SELECT doc_id, source, sig, k.k AS chunk_idx,
+         (sig >> (k.k * 16)) & 65535 AS chunk_val
+  FROM sigs, (SELECT unnest(range(0, 4)) AS k) k
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 10
+"""
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -915,7 +969,7 @@ QUERIES = {
     "xpath_match": (q_xpath_match, Q_XPATH_MATCH_SQL),
     "xpath_channels": (q_xpath_channels, Q_XPATH_CHANNELS_SQL),
     # rows-only (no oracle)
-    "simhash_pairs": (q_simhash_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, Q_SIMHASH_PAIRS_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, Q_MINHASH_LSH_PAIRS_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
     "label_centroid": (q_label_centroid, None),
