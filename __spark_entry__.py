@@ -65,8 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query. The single rows-only omission
-    is label_centroid (float-aggregation-order-sensitive centroid cosines);
-    every other query — including simhash/minhash-LSH pair generation and
-    the multimodal decode — is value-hash-verified."""
+    """DuckDB-equivalent ANSI SQL per query — EVERY queries() entry has an
+    oracle (simhash/LSH pair generation via md5-keyed variants, multimodal
+    decode via the deterministic payload, centroid cosines via integer
+    quantization of the mean)."""
     return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

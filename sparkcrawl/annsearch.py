@@ -82,6 +82,43 @@ def lsh_bucketed_topk(df: DataFrame, qvec: list[float], k: int = 10,
     return brute_force_topk(cand, qvec, k, vec_col, id_col)
 
 
+def label_centroid_cosine(df: DataFrame,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          quant: int = 1_000_000) -> DataFrame:
+    """Deterministic per-label centroid cosine.
+
+    Float means are summation-order-dependent, so a naive centroid differs
+    across partitionings/engines. Components are quantized to integers
+    (round(v * quant)) before aggregation: integer sums are exact and
+    order-free, and centroid = s / (n * quant) is then a single double
+    division — bit-identical everywhere, hence oracle-verifiable. The
+    quantization error (<= 0.5/quant per component) is far below the 4-dp
+    output rounding."""
+    emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d = df.withColumn("_e", emb_d)
+    dims = d.select(
+        id_col, "label", F.posexplode("_e").alias("dim", "v")
+    )
+    qv = F.round(F.col("v") * quant).cast("long")
+    cent = dims.groupBy("label", "dim").agg(
+        F.sum(qv).alias("s"), F.count("*").alias("n")
+    )
+    comp = F.col("s").cast("double") / (F.col("n") * F.lit(float(quant)))
+    centroids = cent.select("label", "dim", comp.alias("c")).groupBy(
+        "label"
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
+    ).select("label", F.transform("dc", lambda s: s["c"]).alias("centroid"))
+    j = d.join(F.broadcast(centroids), "label")
+    cos = _dot(F.col("_e"), F.col("centroid")) / (
+        _norm(F.col("_e")) * _norm(F.col("centroid"))
+    )
+    return j.select(
+        id_col, "label", F.round(cos, 4).alias("centroid_cosine")
+    )
+
+
 def pairwise_topk_per_label(df: DataFrame, k: int = 5,
                             vec_col: str = "embedding",
                             id_col: str = "vec_id") -> DataFrame:

@@ -934,9 +934,40 @@ LEFT JOIN cnt c ON c.media_id = m.media_id AND c.bucket = d.dim_idx
 
 
 def q_label_centroid(spark, sf_dir):
-    """IVF-style per-label centroid cosine. Rows-only (fp agg order)."""
+    """IVF-style per-label centroid cosine, made deterministic by integer
+    quantization of the centroid sum (annsearch.label_centroid_cosine) so
+    the oracle reproduces it bit-for-bit."""
     e = _t(spark, sf_dir, "embeddings")
-    return annsearch.pairwise_topk_per_label(e)
+    return annsearch.label_centroid_cosine(e)
+
+
+Q_LABEL_CENTROID_SQL = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, label, d.d AS dim, emb[d.d] AS v
+  FROM e, (SELECT unnest(range(1, 65)) AS d) d
+),
+cent AS (
+  SELECT label, dim,
+         SUM(CAST(round(v * 1000000.0) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM dims GROUP BY label, dim
+),
+cvec AS (
+  SELECT label,
+         list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS centroid
+  FROM cent GROUP BY label
+)
+SELECT e.vec_id AS vec_id, e.label AS label,
+       round(list_dot_product(emb, centroid) /
+             (sqrt(list_dot_product(emb, emb)) *
+              sqrt(list_dot_product(centroid, centroid))), 4)
+         AS centroid_cosine
+FROM e JOIN cvec USING (label)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -972,5 +1003,5 @@ QUERIES = {
     "simhash_pairs": (q_simhash_pairs, Q_SIMHASH_PAIRS_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, Q_MINHASH_LSH_PAIRS_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
-    "label_centroid": (q_label_centroid, None),
+    "label_centroid": (q_label_centroid, Q_LABEL_CENTROID_SQL),
 }
