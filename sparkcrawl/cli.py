@@ -35,7 +35,19 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--no-bloom", action="store_true")
     args = ap.parse_args(argv)
 
-    spark = SparkSession.builder.appName("sparkcrawl").getOrCreate()
+    # Under spark-submit the master/memory/conf come from the submit
+    # command (spark.master is preset) — just attach. Launched as plain
+    # `python -m sparkcrawl.cli`, use the tuned local builder (AQE, sized
+    # shuffle partitions, $SPARKCRAWL_DRIVER_MEM) — the default 1 GiB
+    # driver heap cannot hold a cached web of a few hundred MB.
+    from pyspark import SparkConf
+
+    if SparkConf().get("spark.master", None):
+        spark = SparkSession.builder.appName("sparkcrawl").getOrCreate()
+    else:
+        from sparkcrawl.session import get_spark
+
+        spark = get_spark("sparkcrawl")
     store = SnapshotStore(args.store)
     pages = spark.read.schema(S.PAGES).parquet(f"{args.web}/pages.parquet")
     meta = spark.read.schema(S.PAGE_META).parquet(

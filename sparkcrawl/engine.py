@@ -567,6 +567,22 @@ class CrawlEngine:
     def _crawled_total(self) -> int:
         return int(self.store.meta.get("n_crawled", 0))
 
+    def _compact_tables(self, round_no: int) -> None:
+        """Periodic table maintenance (Iceberg rewrite_data_files
+        analogue): append-per-round tables accumulate one parquet dir per
+        round, and every per-round read lists them all. Rewrites any table
+        with many dirs into one, as its own commit with unchanged meta —
+        content-identical, so resume/trace determinism is unaffected."""
+        staged = False
+        for name, schema in (
+            ("seen", S.SEEN), ("content_seen", S.CONTENT_SEEN),
+            ("crawled", S.CRAWLED), ("trace", S.TRACE),
+            ("metrics", S.METRICS), ("lineage", S.LINEAGE),
+        ):
+            staged |= self.store.compact(self.spark, name, schema)
+        if staged:
+            self.store.commit(dict(self.store.meta))
+
     # ---- the loop ----
 
     def run(self, seeds: DataFrame | None = None,
@@ -592,6 +608,8 @@ class CrawlEngine:
                 break
             r += 1
             last = self.run_round(r)
+            if r % 64 == 0:
+                self._compact_tables(r)
             if last["n_selected"] == 0:
                 stall += 1
                 if stall > 64:  # no delay in fixtures exceeds this

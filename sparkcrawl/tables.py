@@ -174,3 +174,21 @@ class SnapshotStore:
 
     def exists(self, name: str) -> bool:
         return bool(self._tables.get(name))
+
+    def n_dirs(self, name: str) -> int:
+        return len(self._tables.get(name, []))
+
+    # ---- maintenance ----
+
+    def compact(self, spark: SparkSession, name: str,
+                schema: T.StructType, min_dirs: int = 16) -> bool:
+        """Rewrite a many-dir append table into one staged dir (the
+        rewrite_data_files / bin-packing maintenance Iceberg runs): an
+        append-per-round table accumulates one directory per round, and
+        every downstream read lists and opens all of them. Stages an
+        overwrite with identical content; the caller commits. Returns
+        whether a rewrite was staged."""
+        if self.n_dirs(name) < min_dirs:
+            return False
+        self.stage_overwrite(name, self.read(spark, name, schema))
+        return True
