@@ -49,6 +49,11 @@ SIZES = {
     # per-round compute dominates fixed overhead (the scaling-bench profile)
     "scale": dict(n_hosts=50_000, mean_pages=8, mega_pages=30_000,
                   seed_hosts=50_000, n_para=(6, 12), para_words=(40, 80)),
+    # wide: 3x the host fan-out of `scale` -> rounds of 150k-500k URLs,
+    # where per-round compute dwarfs the fixed per-round latency — the
+    # profile that exhibits the loop's compute-bound scaling regime
+    "wide": dict(n_hosts=150_000, mean_pages=8, mega_pages=30_000,
+                 seed_hosts=150_000, n_para=(6, 12), para_words=(40, 80)),
 }
 
 WORDS = (
