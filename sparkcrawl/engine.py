@@ -412,34 +412,38 @@ class CrawlEngine:
         # pinned checkpoints.
         n_links = cand.count()
         tk("materialize")
-        if cfg.use_bloom:
-            new_rows = seenmod.anti_join_with_bloom(cand, seen, self.bloom())
-        else:
-            new_rows = seenmod.anti_join_seen(cand, seen, use_bloom=False)
-        # dense_seq's offset prefix sum doubles as the admitted count — no
-        # separate count() job.
-        new_rows, n_admitted = dense_seq(
-            new_rows, ["parent_seq", "link_idx"],
-            base=round_no << ROUND_SHIFT, size_bound=n_links,
-        )
-        tk("seen+seq")
 
         # ---- counters: ONE pass over the per-row action column (branch mix
         # of non-GET rows + extract outcomes) instead of per-frame collects;
-        # the same frame is the trace that gets written below ----
+        # the same frame is the trace that gets written below. Submitted
+        # concurrently with the anti-join/seq jobs — everything both read
+        # (fx/got checkpoints) was materialized by the count above ----
         traced = (
             fx.filter(F.col("_pre") != "get")
             .select("seq", "url_norm", "host", F.col("_pre").alias("action"))
             .unionByName(got.select("seq", "url_norm", "host", "action"))
         ).localCheckpoint(eager=False)
-        counts = {
-            r["action"]: r["n"]
-            for r in traced.groupBy("action").agg(
-                F.count("*").alias("n")
-            ).collect()
-        }
+        with ThreadPoolExecutor(max_workers=1) as cex:
+            counts_f = cex.submit(
+                lambda: traced.groupBy("action")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            if cfg.use_bloom:
+                new_rows = seenmod.anti_join_with_bloom(
+                    cand, seen, self.bloom()
+                )
+            else:
+                new_rows = seenmod.anti_join_seen(cand, seen, use_bloom=False)
+            # dense_seq's offset prefix sum doubles as the admitted count —
+            # no separate count() job.
+            new_rows, n_admitted = dense_seq(
+                new_rows, ["parent_seq", "link_idx"],
+                base=round_no << ROUND_SHIFT, size_bound=n_links,
+            )
+            counts = {r["action"]: r["n"] for r in counts_f.result()}
         n_selected = sum(counts.values())
-        tk("counters")
+        tk("seen+seq+counters")
         if n_selected == 0:
             # all frontier rows delay-deferred (or frontier empty): commit
             # an empty round so the virtual clock advances; the frontier
