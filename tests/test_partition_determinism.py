@@ -1,0 +1,46 @@
+"""Cross-partitioning determinism: the same crawl at different
+shuffle-partition counts must produce identical traces, seen sets, and
+extracted text — the engine's core ordering claim (ARCHITECTURE.md §2)."""
+
+from __future__ import annotations
+
+from conftest import load_inputs
+from sparkcrawl import schema as S
+from sparkcrawl.engine import CrawlConfig, CrawlEngine
+from sparkcrawl.tables import SnapshotStore
+
+
+def _run(spark, fixture_paths, tmp_path, tag: str, partitions: int):
+    pages, meta, robots_df, seeds = load_inputs(spark, fixture_paths)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        store = SnapshotStore(str(tmp_path / f"store_{tag}"))
+        eng = CrawlEngine(
+            spark, store, pages, meta, robots_df,
+            CrawlConfig(cache_web=False),
+        )
+        eng.run(seeds, max_rounds=4)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    trace = sorted(
+        (r["round"], r["ord"], r["url_norm"], r["action"])
+        for r in store.read(spark, "trace", S.TRACE).collect()
+    )
+    seen = sorted(
+        r["url_norm"] for r in store.read(spark, "seen", S.SEEN).collect()
+    )
+    crawled = sorted(
+        (r["url_norm"], r["text"])
+        for r in store.read(spark, "crawled", S.CRAWLED).collect()
+    )
+    return trace, seen, crawled
+
+
+def test_identical_results_across_partitionings(spark, fixture_paths, tmp_path):
+    a = _run(spark, fixture_paths, tmp_path, "p3", 3)
+    b = _run(spark, fixture_paths, tmp_path, "p13", 13)
+    assert a[0] == b[0], "trace differs across partitionings"
+    assert a[1] == b[1], "seen set differs across partitionings"
+    assert a[2] == b[2], "extracted text differs across partitionings"
+    assert len(a[0]) > 0 and len(a[2]) > 0
