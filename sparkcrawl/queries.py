@@ -191,6 +191,47 @@ WHERE NOT EXISTS (SELECT 1 FROM ours o WHERE o.host = s.host)
 """
 
 
+def q_robots_parse(spark, sf_dir):
+    """R1 raw robots.txt parsing (CrawlerBolt.java:302-355): synthesize a
+    robots.txt text per host with a KNOWN structure (multi-agent block +
+    '*' block), run the real block parser via Arrow, and have the oracle
+    enumerate the expected rows relationally."""
+    from sparkcrawl.robots import parse_robots_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).distinct()
+    k = (F.length("host") % 7).cast("string")
+    text = F.concat(
+        F.lit("# synthetic\nUser-agent: cis455crawler\nUser-agent: bot2\n"
+              "Disallow: /p"), k,
+        F.lit("\nCrawl-delay: "), ((F.length("host") % 7) + 1).cast("string"),
+        F.lit("\n\nUser-agent: *\nDisallow: /all\n"),
+    )
+    corpus = hosts.select("host", text.alias("robots_txt"))
+    return parse_robots_corpus(corpus).withColumn(
+        "crawl_delay", F.col("crawl_delay").cast("int")
+    )
+
+
+Q_ROBOTS_PARSE_SQL = """
+WITH hosts AS (
+  SELECT DISTINCT source || '.example.com' AS host FROM documents
+),
+k AS (SELECT host, length(host) % 7 AS k FROM hosts)
+SELECT host, agent, rule, path_prefix, CAST(delay AS INTEGER) AS crawl_delay
+FROM k, LATERAL (
+  VALUES
+    ('cis455crawler', 'disallow', '/p' || CAST(k.k AS VARCHAR), NULL),
+    ('bot2',          'disallow', '/p' || CAST(k.k AS VARCHAR), NULL),
+    ('cis455crawler', 'crawl_delay', NULL, k.k + 1),
+    ('bot2',          'crawl_delay', NULL, k.k + 1),
+    ('*',             'disallow', '/all', NULL)
+) t(agent, rule, path_prefix, delay)
+"""
+
+
 def q_content_dedup(spark, sf_dir):
     """P1 content-hash dedup groups (DocumentParserBolt.java:155-159;
     md5 so the oracle reproduces it)."""
@@ -978,6 +1019,7 @@ QUERIES = {
     "seen_anti_join": (q_seen_anti_join, Q_SEEN_ANTI_JOIN_SQL),
     "canonicalize_ports": (q_canonicalize_ports, Q_CANONICALIZE_PORTS_SQL),
     "robots_effective": (q_robots_effective, Q_ROBOTS_EFFECTIVE_SQL),
+    "robots_parse": (q_robots_parse, Q_ROBOTS_PARSE_SQL),
     "content_dedup": (q_content_dedup, Q_CONTENT_DEDUP_SQL),
     "corpus_export": (q_corpus_export, Q_CORPUS_EXPORT_SQL),
     "export_rotation": (q_export_rotation, Q_EXPORT_ROTATION_SQL),

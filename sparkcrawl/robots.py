@@ -19,7 +19,9 @@ higher-order function, no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 USER_AGENT = "cis455crawler"  # the reference's UA (CrawlerBolt.java:75)
 
@@ -56,6 +58,108 @@ def denied_predicate() -> Column:
             lambda p: F.col("path").startswith(p),
         ),
         F.lit(False),
+    )
+
+
+# ---- raw robots.txt text parsing (reference R1) -----------------------------
+
+
+def parse_robots_txt(text: str, host: str = "") -> list[dict]:
+    """Parse raw robots.txt text into rule rows, with the REFERENCE's exact
+    block semantics (CrawlerBolt.java:302-355):
+
+    * a ``User-agent:`` line opens a block; further ``User-agent`` lines
+      before a blank line ADD agents — every Disallow/Allow/Crawl-delay in
+      the block applies to ALL of the block's agents;
+    * blank lines end the block; so does any line that doesn't split on
+      ':' into exactly two parts (comments and Sitemap URLs inside a block
+      therefore END it, as in the reference's inner-loop break);
+    * unknown two-part directives inside a block are ignored but keep the
+      block open (the reference's else-if chain falls through);
+    * a non-integer Crawl-delay aborts the remaining parse, keeping rows
+      collected so far (the reference's NumberFormatException unwinds to
+      the outer catch);
+    * directive names are case-sensitive, values are trimmed.
+
+    Returns rows shaped for the rules table:
+    (host, agent, rule, path_prefix, crawl_delay).
+    """
+    rows: list[dict] = []
+
+    def emit(agent, rule, prefix=None, delay=None):
+        rows.append(
+            dict(host=host, agent=agent, rule=rule,
+                 path_prefix=prefix, crawl_delay=delay)
+        )
+
+    lines = text.splitlines()
+    i, n = 0, len(lines)
+    while i < n:
+        line = lines[i]
+        i += 1
+        if not line.strip() or line.startswith("#"):
+            continue
+        parts = line.split(":")
+        if len(parts) != 2 or parts[0] != "User-agent":
+            continue
+        agents = [parts[1].strip()]
+        while i < n:
+            inner = lines[i]
+            i += 1
+            if not inner.strip():
+                break
+            m = inner.split(":")
+            if len(m) != 2:
+                break
+            key, val = m[0], m[1].strip()
+            if key == "User-agent":
+                if val not in agents:
+                    agents.append(val)
+            elif key == "Disallow":
+                for a in agents:
+                    emit(a, "disallow", prefix=val)
+            elif key == "Allow":
+                for a in agents:
+                    emit(a, "allow", prefix=val)
+            elif key == "Crawl-delay":
+                try:
+                    d = int(val)
+                except ValueError:
+                    return rows  # reference: parse aborts, partial kept
+                for a in agents:
+                    emit(a, "crawl_delay", delay=d)
+            # unknown two-part directive: ignored, block stays open
+    return rows
+
+
+def parse_robots_corpus(robots_texts: DataFrame,
+                        host_col: str = "host",
+                        text_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) corpus -> rules table rows, via one Arrow pass
+    (the distributed form of the reference's per-host parse+cache)."""
+
+    @pandas_udf(
+        "array<struct<host:string,agent:string,rule:string,"
+        "path_prefix:string,crawl_delay:int>>"
+    )
+    def _parse(hosts: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [
+                    (r["host"], r["agent"], r["rule"],
+                     r["path_prefix"], r["crawl_delay"])
+                    for r in parse_robots_txt(t or "", h)
+                ]
+                for h, t in zip(hosts, texts)
+            ]
+        )
+
+    return (
+        robots_texts.select(
+            F.explode(_parse(F.col(host_col), F.col(text_col))).alias("r")
+        )
+        .select("r.host", "r.agent", "r.rule", "r.path_prefix",
+                "r.crawl_delay")
     )
 
 
