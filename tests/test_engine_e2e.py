@@ -105,3 +105,45 @@ def test_budget_stop(spark, fixtures, fixture_paths, tmp_path):
     trace, seen, crawled = _collect(spark, store)
     assert trace == o.trace
     assert crawled == o.crawled
+
+
+def test_crash_mid_round_atomicity(spark, fixtures, fixture_paths, tmp_path,
+                                   oracle_result):
+    """A crash BETWEEN staging and commit must leave no trace: staged
+    parquet for a half-finished round is invisible to a fresh store, and
+    resuming reproduces the oracle-identical result."""
+    pages, meta, robots, seeds = load_inputs(spark, fixture_paths)
+    cfg = CrawlConfig(
+        filters=FilterConfig(banned_hosts=fixtures["banned_hosts"]),
+    )
+    store_dir = str(tmp_path / "crash")
+    store = SnapshotStore(store_dir)
+    eng = CrawlEngine(spark, store, pages, meta, robots, cfg)
+    eng.run(seeds, max_rounds=2)
+    committed = dict(store.meta)
+
+    # simulate dying mid-round-3: stage bogus overwrites/appends, NO commit
+    junk = spark.createDataFrame(
+        [("http://junk:80/x", "junk", "/x", 9, 999, 3)], S.FRONTIER
+    )
+    store.stage_overwrite("frontier", junk)
+    store.stage_append(
+        "seen",
+        spark.createDataFrame([("http://junk:80/x", 1, 3)], S.SEEN),
+    )
+    del store, eng  # process dies here
+
+    # restart: fresh store must see only the committed round-2 state
+    store2 = SnapshotStore(store_dir)
+    assert dict(store2.meta) == committed
+    frontier = store2.read(spark, "frontier", S.FRONTIER)
+    assert frontier.filter(frontier.host == "junk").count() == 0
+    seen = store2.read(spark, "seen", S.SEEN)
+    assert seen.filter(seen.url_norm == "http://junk:80/x").count() == 0
+
+    eng2 = CrawlEngine(spark, store2, pages, meta, robots, cfg)
+    eng2.run(None)
+    trace, seen_set, crawled = _collect(spark, store2)
+    assert trace == oracle_result.trace
+    assert seen_set == oracle_result.seen
+    assert crawled == oracle_result.crawled
