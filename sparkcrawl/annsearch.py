@@ -82,6 +82,109 @@ def lsh_bucketed_topk(df: DataFrame, qvec: list[float], k: int = 10,
     return brute_force_topk(cand, qvec, k, vec_col, id_col)
 
 
+def banded_sign_buckets(df: DataFrame, n_bands: int = 4, band_bits: int = 4,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """(id, band, bucket) rows: one sign-bit bucket per band, bands over
+    disjoint leading dimensions. The banded analogue of minhash LSH banding
+    (textops.lsh_candidate_pairs) for dense embeddings: a near-dup pair
+    collides in SOME band with high probability, so the candidate join
+    shuffles by (band, bucket) — never all-pairs."""
+    rows = []
+    for b in range(n_bands):
+        dims = tuple(range(b * band_bits, (b + 1) * band_bits))
+        rows.append(
+            df.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                sign_bucket(F.col(vec_col), dims).alias("bucket"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def embedding_near_dup(df: DataFrame, threshold: float = 0.35,
+                       n_bands: int = 4, band_bits: int = 4,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH.
+
+    Candidates = distinct id pairs sharing any band bucket (equi-join on
+    (band, bucket) — the shuffle key; at 10^10 rows this is the only join
+    shape that avoids a quadratic exchange). Exact cosine (JVM fold) then
+    keeps pairs >= threshold. Approximate by design: recall vs the
+    brute-force all-pairs baseline is measured in tests; the oracle
+    reproduces the SAME banded candidate generation."""
+    b = banded_sign_buckets(df, n_bands, band_bits, vec_col, id_col)
+    a = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ea = df.select(F.col(id_col).alias("id_a"), emb_d.alias("_ea"))
+    eb = df.select(F.col(id_col).alias("id_b"), emb_d.alias("_eb"))
+    j = cand.join(ea, "id_a").join(eb, "id_b")
+    cos = _dot(F.col("_ea"), F.col("_eb")) / (
+        _norm(F.col("_ea")) * _norm(F.col("_eb"))
+    )
+    return (
+        j.withColumn("cosine", F.round(cos, 4))
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(df: DataFrame, qvec: list[float], k: int = 10, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-style ANN: coarse cells = sign buckets, cell centroids built with
+    exact integer-quantized means (order-free, oracle-reproducible — see
+    label_centroid_cosine), probe the `nprobe` cells whose centroids are
+    closest to the query by cosine, exact search within probed cells only.
+
+    Fully declarative — cell ranking is a broadcast-joined top-nprobe plan,
+    no driver collect; at scale the scan reads only the probed cells
+    (bucket is the partition column of a real IVF layout)."""
+    quant = 1_000_000
+    d = with_sign_bucket(df, vec_col).withColumn(
+        "_e", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+    dims = d.select("bucket", F.posexplode("_e").alias("dim", "v"))
+    qv = F.round(F.col("v") * quant).cast("long")
+    cent = dims.groupBy("bucket", "dim").agg(
+        F.sum(qv).alias("s"), F.count("*").alias("n")
+    )
+    comp = F.col("s").cast("double") / (F.col("n") * F.lit(float(quant)))
+    centroids = (
+        cent.select("bucket", "dim", comp.alias("c"))
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select("bucket", F.transform("dc", lambda s: s["c"]).alias("centroid"))
+    )
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    ccos = _dot(F.col("centroid"), q) / (_norm(F.col("centroid")) * _norm(q))
+    probed = (
+        centroids.withColumn("_ccos", ccos)
+        .orderBy(F.desc("_ccos"), F.asc("bucket"))
+        .limit(nprobe)
+        .select("bucket")
+    )
+    cand = d.join(F.broadcast(probed), "bucket")
+    cos = _dot(F.col("_e"), q) / (_norm(F.col("_e")) * _norm(q))
+    return (
+        cand.withColumn("cosine", F.round(cos, 4))
+        .select(id_col, F.col("bucket").cast("long").alias("bucket"), "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def label_centroid_cosine(df: DataFrame,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id",

@@ -1011,6 +1011,110 @@ FROM e JOIN cvec USING (label)
 """
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via banded sign-LSH (4 bands x 4 sign
+    bits over disjoint dims) + exact JVM-fold cosine >= 0.35 on candidates.
+    The scale path for near-dup detection over dense vectors: the only
+    shuffle is the (band, bucket) equi-join. Recall vs brute force is
+    measured in tests/test_textops_ann.py; the oracle reproduces the same
+    banded candidate generation."""
+    e = _t(spark, sf_dir, "embeddings")
+    return annsearch.embedding_near_dup(e, threshold=0.35)
+
+
+def _band_bucket_sql(band: int, band_bits: int = 4) -> str:
+    terms = [
+        f"(CASE WHEN embedding[{band * band_bits + i + 1}] > 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i in range(band_bits)
+    ]
+    return " + ".join(terms)
+
+
+Q_EMBEDDING_NEAR_DUP_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+b AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {band} AS band, {_band_bucket_sql(band)} AS bucket "
+    f"FROM embeddings"
+    for band in range(4)
+) + """
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+                   AND a.vec_id < c.vec_id
+),
+p AS (
+  SELECT id_a, id_b,
+         list_dot_product(ea.emb, eb.emb) /
+           (sqrt(list_dot_product(ea.emb, ea.emb)) *
+            sqrt(list_dot_product(eb.emb, eb.emb))) AS cos
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.id_a
+  JOIN e eb ON eb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.35
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: probe the 16 sign-bucket cells whose integer-quantized
+    centroids are closest (cosine) to the query vector (vec_id=0), exact
+    top-20 within probed cells only — the partition-pruned scale path
+    whose exactness baseline is ann_cosine/brute_force_topk."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return annsearch.ivf_topk(e, qvec, k=20, nprobe=16)
+
+
+Q_ANN_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         CAST(""" + _band_bucket_sql(0, 8) + """ AS BIGINT) AS bucket
+  FROM embeddings
+),
+q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+dims AS (
+  SELECT bucket, d.d AS dim, emb[d.d] AS v
+  FROM e, (SELECT unnest(range(1, 65)) AS d) d
+),
+cent AS (
+  SELECT bucket, dim,
+         SUM(CAST(round(v * 1000000.0) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM dims GROUP BY bucket, dim
+),
+cvec AS (
+  SELECT bucket,
+         list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS centroid
+  FROM cent GROUP BY bucket
+),
+probed AS (
+  SELECT bucket
+  FROM cvec, q
+  ORDER BY list_dot_product(centroid, q.qv) /
+             (sqrt(list_dot_product(centroid, centroid)) *
+              sqrt(list_dot_product(q.qv, q.qv))) DESC,
+           bucket ASC
+  LIMIT 16
+)
+SELECT e.vec_id AS vec_id, e.bucket AS bucket,
+       round(list_dot_product(emb, q.qv) /
+             (sqrt(list_dot_product(emb, emb)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM e JOIN probed USING (bucket), q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1034,6 +1138,8 @@ QUERIES = {
     "jaccard_pairs": (q_jaccard_pairs, Q_JACCARD_PAIRS_SQL),
     "ann_cosine": (q_ann_cosine, Q_ANN_COSINE_SQL),
     "ann_buckets": (q_ann_buckets, Q_ANN_BUCKETS_SQL),
+    "ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
+    "embedding_near_dup": (q_embedding_near_dup, Q_EMBEDDING_NEAR_DUP_SQL),
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "quality": (q_quality, Q_QUALITY_SQL),
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),

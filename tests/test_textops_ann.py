@@ -131,6 +131,68 @@ def test_ann_brute_vs_lsh(spark):
     assert len(cents) == 200
 
 
+def test_ann_ivf_and_near_dup(spark):
+    import random
+
+    rng = random.Random(11)
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(16)]
+
+    base = [vec() for _ in range(40)]
+    rows = []
+    vid = 0
+    for b in base:
+        rows.append((vid, b, f"l{vid % 3}"))
+        vid += 1
+        # a jittered near-duplicate of each base vector (high cosine)
+        rows.append(
+            (vid, [x + rng.uniform(-0.05, 0.05) for x in b], f"l{vid % 3}")
+        )
+        vid += 1
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+    # ivf_topk: probing ALL cells must equal brute force exactly
+    q = rows[4][1]
+    exact = [
+        (r["vec_id"], r["cosine"])
+        for r in annsearch.brute_force_topk(e, q, 10).collect()
+    ]
+    ivf_all = [
+        (r["vec_id"], r["cosine"])
+        for r in annsearch.ivf_topk(e, q, k=10, nprobe=1 << 8).collect()
+    ]
+    assert ivf_all == exact
+    # modest probing still finds the query vector itself first
+    ivf = annsearch.ivf_topk(e, q, k=10, nprobe=16).collect()
+    assert ivf[0]["vec_id"] == 4 and ivf[0]["cosine"] == 1.0
+
+    # embedding_near_dup: banded candidates + exact cosine threshold
+    got = annsearch.embedding_near_dup(
+        e, threshold=0.9, n_bands=4, band_bits=4
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # every reported pair truly has cosine >= 0.9 (exact filter)
+    assert all(r["cosine"] >= 0.9 for r in got)
+    # recall vs brute force: planted dup pairs (2i, 2i+1) mostly recovered —
+    # a pair this similar agrees on most sign bits, so some band collides
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in annsearch.embedding_near_dup(
+            e, threshold=0.9, n_bands=1, band_bits=0
+        ).collect()
+    }
+    planted_true = planted & truth
+    assert planted_true  # fixture sanity: jitter kept pairs above 0.9
+    recall = len(pairs & planted_true) / len(planted_true)
+    assert recall >= 0.8
+    # precision is 1.0 by construction (exact cosine on candidates)
+    assert pairs <= truth
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, 30)
     feats = multimodal.decode_features(media).collect()
