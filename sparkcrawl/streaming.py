@@ -24,6 +24,7 @@ __all__ = [
     "windowed_rates",
     "corpus_lines",
     "start_corpus_export",
+    "stateful_sessionize",
 ]
 
 
@@ -59,6 +60,72 @@ def windowed_rates(
             key_col,
             "n",
         )
+    )
+
+
+SESSION_STATE_SCHEMA = (
+    "last_epoch long, session_idx long, n_events long, first_event long"
+)
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_idx long, n_events long, first_event long"
+)
+
+
+def stateful_sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user session assignment with a ``gap_s`` inactivity gap — the
+    continuous analogue of the batch ``sessionize`` query (lag + cumulative
+    sum windows) and of the reference's per-host lastCrawled clock state
+    (XPathCrawler.java:32,162-164: a mutable map keyed by host, carried
+    across tuples — here carried across micro-batches as GroupState).
+
+    State per user: (last_epoch, session_idx, n_events, first_event) of the
+    open session. Each micro-batch emits the updated aggregate row for every
+    session it touched (update semantics): downstream keeps the latest row
+    per (user_id, session_idx), which — once input is drained — equals the
+    batch computation exactly (the parity test drives both).
+
+    Ordering contract: rows are sorted by (ts, event_id) *within* each
+    micro-batch; across batches the file source must deliver a key's rows in
+    non-decreasing event-time order (true for the SnapshotStore/Iceberg
+    append pattern where each round's files are strictly later than the
+    last). Arrow-batched per group — no per-row Python on the hot path."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+        if state.exists:
+            last_epoch, sidx, n, first = state.get
+        else:
+            last_epoch, sidx, n, first = None, 0, 0, None
+        touched: dict[int, tuple[int, int]] = {}
+        for ts, eid in zip(rows["ts"], rows["event_id"]):
+            epoch = int(ts.timestamp())
+            if last_epoch is not None and epoch - last_epoch > gap_s:
+                sidx += 1
+                n = 0
+                first = None
+            n += 1
+            if first is None:
+                first = int(eid)
+            last_epoch = epoch
+            touched[sidx] = (n, first)
+        if last_epoch is not None:
+            state.update((int(last_epoch), int(sidx), int(n), int(first)))
+        yield pd.DataFrame(
+            [(key[0], s, cnt, fe) for s, (cnt, fe) in sorted(touched.items())],
+            columns=["user_id", "session_idx", "n_events", "first_event"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from sparkcrawl.streaming import (
     read_event_stream,
     start_corpus_export,
+    stateful_sessionize,
     windowed_rates,
 )
 
@@ -55,6 +56,97 @@ def test_windowed_rates_stream_equals_batch(spark, tmp_path):
         (r["win_start"], r["action"]): r["n"] for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+SESS_SCHEMA = "user_id long, event_id long, ts timestamp"
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == batch lag+cumsum sessionizer.
+
+    Three time-ordered files streamed one per micro-batch, with sessions
+    deliberately crossing the batch boundary for even users (100 s gap at
+    the boundary, within the 1800 s session gap) and breaking at it for odd
+    users (5000 s gap) — so the GroupState carry genuinely matters."""
+    import datetime
+    import time
+
+    from pyspark.sql import Window as W
+
+    src = str(tmp_path / "sess_events")
+    base = datetime.datetime(2026, 1, 1)
+    for chunk in range(3):
+        rows = []
+        for u in range(6):
+            offsets = (
+                # even users: gaps of 1500 s inside the chunk and 1000 s at
+                # the chunk boundary — one session spanning all micro-batches
+                list(range(0, 10000, 1500))
+                if u % 2 == 0
+                else [0, 100, 200, 5000]
+            )
+            for j, off in enumerate(offsets):
+                rows.append(
+                    (
+                        u,
+                        chunk * 1000 + u * 100 + j,
+                        base + datetime.timedelta(seconds=chunk * 10000 + off),
+                    )
+                )
+        spark.createDataFrame(rows, SESS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct mod-times: file source replays in order
+
+    stream = stateful_sessionize(
+        spark.readStream.schema(SESS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update-mode sink holds every emitted version; the final state of each
+    # session is the row with the largest n_events (monotone within session)
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["first_event"])
+        for r in spark.table("sess_test")
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("first_event").alias("first_event"),
+        )
+        .collect()
+    }
+
+    e = spark.read.schema(SESS_SCHEMA).parquet(src)
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = F.when(epoch - F.lag(epoch).over(wu) > 1800, 1).otherwise(0)
+    batch = (
+        e.withColumn("new_sess", gap)
+        .withColumn(
+            "session_idx",
+            F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["first_event"])
+        for r in batch.collect()
+    }
+    assert got == want
+    # the boundary-crossing construction produced multi-batch sessions
+    assert any(n > 4 for n, _ in want.values())
 
 
 def test_streaming_corpus_export(spark, tmp_path):
