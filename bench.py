@@ -38,6 +38,8 @@ HEADLINE = [
     "simhash_pairs",
     "ann_cosine",
     "ann_buckets",
+    "ann_ivf",
+    "embedding_near_dup",
     "lang_id",
     "quality",
     "fingerprint",

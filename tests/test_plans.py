@@ -65,3 +65,32 @@ def test_politeness_no_global_sort(spark):
     # (which would funnel the frontier through one task)
     assert "Window" in plan
     assert "hashpartitioning(host" in plan
+
+
+def test_ivf_probe_join_is_broadcast(spark):
+    from sparkcrawl.annsearch import ivf_topk
+
+    e = spark.createDataFrame(
+        [(i, [float(i % 3) - 1.0] * 8, "l") for i in range(20)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    plan = _plan(ivf_topk(e, [0.5] * 8, k=5, nprobe=2))
+    # probed-cell filter joins as a broadcast (cells are tiny), and the
+    # final top-k is a TakeOrdered, not a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_near_dup_no_cartesian(spark):
+    from sparkcrawl.annsearch import embedding_near_dup
+
+    e = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(16)], "l")
+         for i in range(30)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    plan = _plan(embedding_near_dup(e, threshold=0.5))
+    # candidate generation is an equi-join on (band, bucket) — never a
+    # cartesian/nested-loop product over the vectors
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
