@@ -107,19 +107,15 @@ def bench_crawl(spark, size: str, rounds: int) -> dict:
     meta = spark.read.schema(S.PAGE_META).parquet(f"{web}/page_meta.parquet")
     robots = spark.read.schema(S.ROBOTS).parquet(f"{web}/robots.parquet")
     seeds = spark.read.schema(S.SEEDS).parquet(f"{web}/seeds.parquet")
-    # size shuffle partitions to the per-round data volume (spill-aware
-    # partition sizing): the small bench web carries ~1k URLs/round, where
-    # 32 partitions × ~15 stages of near-empty tasks quadruple wall time
-    # (measured 117 s -> 27 s at 8); restore the session value after.
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        eng = CrawlEngine(spark, store, pages, meta, robots, CrawlConfig())
-        t0 = time.time()
-        eng.run(seeds, max_rounds=rounds)
-        wall = time.time() - t0
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    # per-round shuffle sizing is the engine's job now (CrawlConfig
+    # .adaptive_shuffle): it clamps spark.sql.shuffle.partitions to
+    # ceil(n_frontier/4096) each round and restores the session value —
+    # the manual "set 8 for the small web" override this replaced measured
+    # 117 s -> 27 s; adaptive reproduces that without hand-tuning.
+    eng = CrawlEngine(spark, store, pages, meta, robots, CrawlConfig())
+    t0 = time.time()
+    eng.run(seeds, max_rounds=rounds)
+    wall = time.time() - t0
     n_traced = store.read(spark, "trace", S.TRACE).count()
     mrows = [
         (r["round"], r["n_selected"], r["wall_ms"])

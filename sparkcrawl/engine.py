@@ -45,6 +45,15 @@ class CrawlConfig:
     max_file_num: int = 1_000_000_000  # crawl budget (docs)
     max_rounds: int = 1_000_000
     cache_web: bool = True  # cache pages/meta across rounds (local working set)
+    # Spill-aware per-round shuffle sizing: before each round the engine sets
+    # spark.sql.shuffle.partitions = clamp(ceil(n_frontier / rows_per), 1,
+    # session value at engine construction). Small rounds stop paying dozens
+    # of near-empty tasks per stage (the session value is the ceiling, so at
+    # design scale rounds simply keep the cluster's configured width); results
+    # are partition-count-independent by the determinism contract (§2,
+    # test_partition_determinism).
+    adaptive_shuffle: bool = True
+    shuffle_rows_per_partition: int = 4096
     use_bloom: bool = True
     bloom_bits: int = 1 << 23  # ~1M urls at 8 bits/key locally
     filters: FilterConfig = field(default_factory=FilterConfig)
@@ -152,6 +161,7 @@ class CrawlEngine:
         # the html payload NEVER re-shuffles. This is the local analogue of
         # an Iceberg storage-bucketed join on bucket(url).
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self._max_shuffle = n_shuffle  # adaptive_shuffle ceiling
         self._pg = self.pages.select(
             F.col("url").alias("url_norm"),
             "warc_ts", "html",
@@ -259,7 +269,27 @@ class CrawlEngine:
 
     def run_round(self, round_no: int) -> dict:
         """Execute round ``round_no`` (1-based) and commit atomically.
-        Returns the metrics dict (counters for the driver loop)."""
+        Returns the metrics dict (counters for the driver loop).
+
+        With cfg.adaptive_shuffle, shuffle-partition count is sized to the
+        frontier for the duration of the round (spill-aware sizing; the
+        session's configured value is the ceiling and is restored after)."""
+        if not self.cfg.adaptive_shuffle:
+            return self._run_round(round_no)
+        est = max(int(self.store.meta.get("n_frontier", 0)), 1)
+        tgt = min(
+            self._max_shuffle,
+            max(1, -(-est // self.cfg.shuffle_rows_per_partition)),
+        )
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(tgt))
+        try:
+            return self._run_round(round_no)
+        finally:
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(self._max_shuffle)
+            )
+
+    def _run_round(self, round_no: int) -> dict:
         t0 = time.time()
         tk = _Ticker()
         spark, cfg, store = self.spark, self.cfg, self.store

@@ -18,7 +18,9 @@ def _run(spark, fixture_paths, tmp_path, tag: str, partitions: int):
         store = SnapshotStore(str(tmp_path / f"store_{tag}"))
         eng = CrawlEngine(
             spark, store, pages, meta, robots_df,
-            CrawlConfig(cache_web=False),
+            # adaptive sizing off: this test pins DIFFERENT explicit
+            # partition counts per run, which adaptivity would equalize
+            CrawlConfig(cache_web=False, adaptive_shuffle=False),
         )
         eng.run(seeds, max_rounds=4)
     finally:
