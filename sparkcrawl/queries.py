@@ -1147,7 +1147,9 @@ QUERIES = {
     "xpath_valid": (q_xpath_valid, Q_XPATH_VALID_SQL),
     "xpath_match": (q_xpath_match, Q_XPATH_MATCH_SQL),
     "xpath_channels": (q_xpath_channels, Q_XPATH_CHANNELS_SQL),
-    # rows-only (no oracle)
+    # oracle-verified via engine-matching SQL reconstructions (md5-keyed
+    # minhash variant, simhash rebuilt from md5 hex, deterministic
+    # multimodal payload, quantized centroids)
     "simhash_pairs": (q_simhash_pairs, Q_SIMHASH_PAIRS_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, Q_MINHASH_LSH_PAIRS_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),

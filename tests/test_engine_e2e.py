@@ -147,3 +147,29 @@ def test_crash_mid_round_atomicity(spark, fixtures, fixture_paths, tmp_path,
     assert trace == oracle_result.trace
     assert seen_set == oracle_result.seen
     assert crawled == oracle_result.crawled
+
+
+def test_adaptive_shuffle_scopes_to_round(spark, fixture_paths, tmp_path):
+    """Adaptive sizing clamps shuffle partitions during a round and restores
+    the session value after; tiny frontiers collapse to 1 partition."""
+    from conftest import load_inputs
+
+    pages, meta, robots_df, seeds = load_inputs(spark, fixture_paths)
+    store = SnapshotStore(str(tmp_path / "store_adapt"))
+    eng = CrawlEngine(spark, store, pages, meta, robots_df, CrawlConfig())
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    eng.init_frontier(seeds)
+    eng.run_round(1)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # clamp math: ceiling is the session value, floor is 1
+    cfg = eng.cfg
+    per = cfg.shuffle_rows_per_partition
+    for est, want in [
+        (0, 1),
+        (1, 1),
+        (per, 1),
+        (per + 1, 2),
+        (per * eng._max_shuffle * 10, eng._max_shuffle),
+    ]:
+        got = min(eng._max_shuffle, max(1, -(-max(est, 1) // per)))
+        assert got == want
