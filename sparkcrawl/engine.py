@@ -54,6 +54,12 @@ class CrawlConfig:
     # test_partition_determinism).
     adaptive_shuffle: bool = True
     shuffle_rows_per_partition: int = 4096
+    # Force-broadcast the host-keyed state tables (robots rules, priority,
+    # delay clocks) — the reference's in-memory robotMap/lastCrawled
+    # analogue, correct while those tables fit executor memory. At 10^8+
+    # robots-bearing hosts set False: the same equi-joins then plan as
+    # shuffled joins on host (identical results, tested).
+    broadcast_host_state: bool = True
     use_bloom: bool = True
     bloom_bits: int = 1 << 23  # ~1M urls at 8 bits/key locally
     filters: FilterConfig = field(default_factory=FilterConfig)
@@ -307,7 +313,8 @@ class CrawlEngine:
         # 1-2. politeness: delay gate, then per-host run-cap selection
         prev_meta = dict(store.meta)
         eligible = politeness.eligible_hosts_filter(
-            frontier, self.host_rules, host_clock, round_no
+            frontier, self.host_rules, host_clock, round_no,
+            hint_broadcast=cfg.broadcast_host_state,
         )
         # localCheckpoint (not cache): materializes AND truncates lineage, so
         # every downstream plan this round is analyzed from a memory scan
@@ -317,10 +324,14 @@ class CrawlEngine:
         selected = politeness.select_per_host(
             eligible, host_priority,
             frontier_size=int(prev_meta.get("n_frontier", 0)) or None,
+            hint_broadcast=cfg.broadcast_host_state,
         ).localCheckpoint(eager=False)
 
         # 3. robots disallow (broadcast join + JVM exists())
-        sel = robots.join_rules(selected, self.host_rules)
+        sel = robots.join_rules(
+            selected, self.host_rules,
+            hint_broadcast=cfg.broadcast_host_state,
+        )
         sel = sel.withColumn("_denied", robots.denied_predicate()).drop(
             "disallow_prefixes", "crawl_delay"
         )

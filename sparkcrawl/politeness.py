@@ -18,7 +18,10 @@ Scale notes:
     top-k: phase 1 ranks within (host, salt) — 64-way split of each host —
     keeping ≤cap rows per split; phase 2 ranks the ≤64·cap survivors per
     host. The mega-host's sort shrinks from O(backlog) to O(64·cap).
-  * cap/priority is a broadcast join (host_priority is ~#hosts rows).
+  * cap/priority is a broadcast join while host_priority fits executor
+    memory; past that (hint_broadcast=False, CrawlConfig
+    .broadcast_host_state) every host-keyed join here plans as a shuffled
+    equi-join co-partitioned with the frontier.
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ def eligible_hosts_filter(
     host_rules: DataFrame,
     host_clock: DataFrame,
     round_no: int,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Drop rows of hosts still inside their crawl-delay window.
 
@@ -55,14 +59,17 @@ def eligible_hosts_filter(
     table (one row per ever-fetched host, ~#hosts at 10^10-URL scale)
     never broadcasts wholesale.
     """
+    def _b(df):
+        return F.broadcast(df) if hint_broadcast else df
+
     delayed = host_rules.filter(
         F.col("crawl_delay").isNotNull()
     ).select("host", "crawl_delay")
     clock_rel = host_clock.join(
-        F.broadcast(delayed.select("host")), "host", "left_semi"
+        _b(delayed.select("host")), "host", "left_semi"
     )
-    f = frontier.join(F.broadcast(delayed), "host", "left").join(
-        F.broadcast(clock_rel), "host", "left"
+    f = frontier.join(_b(delayed), "host", "left").join(
+        _b(clock_rel), "host", "left"
     )
     ok = (
         F.col("crawl_delay").isNull()
@@ -74,7 +81,8 @@ def eligible_hosts_filter(
 
 def select_per_host(frontier: DataFrame, host_priority: DataFrame,
                     frontier_size: int | None = None,
-                    twophase_threshold: int = 2_000_000) -> DataFrame:
+                    twophase_threshold: int = 2_000_000,
+                    hint_broadcast: bool = True) -> DataFrame:
     """Pick the first cap(host) rows by seq per host.
 
     Input must already be delay-filtered. The salted phase-1 window is a
@@ -83,7 +91,8 @@ def select_per_host(frontier: DataFrame, host_priority: DataFrame,
     known to be small — the phase-2 window alone defines the semantics, so
     results are identical either way (tested).
     """
-    f = frontier.join(F.broadcast(host_priority), "host", "left").withColumn(
+    prio = F.broadcast(host_priority) if hint_broadcast else host_priority
+    f = frontier.join(prio, "host", "left").withColumn(
         "cap", cap_col(F.coalesce(F.col("priority"), F.lit(DEFAULT_PRIORITY)))
     )
     if frontier_size is None or frontier_size > twophase_threshold:

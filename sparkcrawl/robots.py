@@ -45,9 +45,17 @@ def effective_rules(robots: DataFrame, agent: str = USER_AGENT) -> DataFrame:
     )
 
 
-def join_rules(frontier: DataFrame, host_rules: DataFrame) -> DataFrame:
-    """Broadcast-join the effective rules onto frontier rows by host."""
-    return frontier.join(F.broadcast(host_rules), "host", "left")
+def join_rules(frontier: DataFrame, host_rules: DataFrame,
+               hint_broadcast: bool = True) -> DataFrame:
+    """Join the effective rules onto frontier rows by host.
+
+    hint_broadcast forces a broadcast (the robotMap-cache analogue — right
+    whenever the rules side fits executor memory). Past ~10^8 robots-bearing
+    hosts it cannot fit: pass False and the equi-join plans as a shuffled
+    join on host (co-partitioned with the frontier's host partitioning; AQE
+    may still pick broadcast from runtime stats)."""
+    r = F.broadcast(host_rules) if hint_broadcast else host_rules
+    return frontier.join(r, "host", "left")
 
 
 def denied_predicate() -> Column:

@@ -79,6 +79,23 @@ def test_bloom_off_identical(spark, fixtures, fixture_paths, tmp_path,
     assert trace == oracle_result.trace
 
 
+def test_no_broadcast_hint_identical(spark, fixtures, fixture_paths,
+                                     tmp_path, oracle_result):
+    """broadcast_host_state=False (the 10^8-host regime: shuffled host
+    joins instead of forced broadcasts) changes nothing."""
+    pages, meta, robots, seeds = load_inputs(spark, fixture_paths)
+    cfg = CrawlConfig(
+        broadcast_host_state=False,
+        filters=FilterConfig(banned_hosts=fixtures["banned_hosts"]),
+    )
+    store = SnapshotStore(str(tmp_path / "nbc"))
+    CrawlEngine(spark, store, pages, meta, robots, cfg).run(seeds)
+    trace, seen, crawled = _collect(spark, store)
+    assert trace == oracle_result.trace
+    assert seen == oracle_result.seen
+    assert crawled == oracle_result.crawled
+
+
 def test_resume_identical_ordering(spark, fixtures, fixture_paths, tmp_path,
                                    oracle_result):
     """Kill after round 2, restart from the snapshot, full trace identical."""
