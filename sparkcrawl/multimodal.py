@@ -76,6 +76,61 @@ def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
     )
 
 
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("n_bytes_in", T.LongType(), False),
+        T.StructField("thumb", T.BinaryType(), True),  # opaque resized bytes
+    ]
+)
+
+
+def _stub_resize(payload: bytes | None, w: int, h: int) -> bytes:
+    """STUB resample: nearest-neighbor byte stride to exactly w*h bytes.
+
+    A real deployment replaces this with PIL.Image.open(...).resize((w, h))
+    and channel packing; the deterministic stride keeps the pipeline
+    end-to-end testable without image libs."""
+    size = w * h
+    if not payload:
+        return bytes(size)
+    n = len(payload)
+    return bytes(payload[(k * n) // size] for k in range(size))
+
+
+def resize_thumbs(media: DataFrame, width: int = 4,
+                  height: int = 4) -> DataFrame:
+    """mapInPandas image resize: binary payload in, fixed-size binary thumb
+    out (decode/resample kernel stubbed; Arrow batch shape, binary-in/
+    binary-out plumbing, and skew-free media_id-hash partitioning real).
+    Only image rows are decoded — the filter prunes before any Python."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": width,
+                    "out_h": height,
+                    "n_bytes_in": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "thumb": [
+                        _stub_resize(p, width, height)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .repartition(F.xxhash64("media_id"))
+        .mapInPandas(gen, THUMB_SCHEMA)
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling PLAN: computes (media_id, frame_idx) rows from
     metadata without decoding — the explode happens JVM-side so the decode

@@ -974,6 +974,39 @@ LEFT JOIN cnt c ON c.media_id = m.media_id AND c.bucket = d.dim_idx
 """
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Image resize plumbing: binary payload -> fixed-size binary thumb via
+    mapInPandas (resample kernel stubbed as a nearest-neighbor byte stride;
+    binary-in/binary-out Arrow plumbing real). Thumb compared as hex so the
+    oracle rebuilds it relationally from the deterministic payload."""
+    from sparkcrawl import multimodal
+
+    media = multimodal.synth_media(spark, 128)
+    t = multimodal.resize_thumbs(media, width=4, height=4)
+    return t.select(
+        "media_id", "out_w", "out_h", "n_bytes_in",
+        F.lower(F.hex("thumb")).alias("thumb_hex"),
+    )
+
+
+# payload[j] = (i*131 + j*17) % 256, j < 64+i (synth_media); images are
+# i%3==0; thumb[k] = payload[(k*n)//16] for the 4x4 stride resize
+Q_MULTIMODAL_RESIZE_SQL = """
+WITH m AS (SELECT unnest(range(0, 128)) AS media_id),
+img AS (SELECT media_id FROM m WHERE media_id % 3 = 0),
+ks AS (SELECT unnest(range(0, 16)) AS k),
+tb AS (
+  SELECT media_id, ks.k,
+         (media_id * 131 + ((ks.k * (64 + media_id)) // 16) * 17) % 256 AS bv
+  FROM img CROSS JOIN ks
+)
+SELECT media_id, 4 AS out_w, 4 AS out_h,
+       CAST(64 + media_id AS BIGINT) AS n_bytes_in,
+       lower(string_agg(lpad(to_hex(bv), 2, '0'), '' ORDER BY k)) AS thumb_hex
+FROM tb GROUP BY media_id
+"""
+
+
 def q_label_centroid(spark, sf_dir):
     """IVF-style per-label centroid cosine, made deterministic by integer
     quantization of the centroid sum (annsearch.label_centroid_cosine) so
@@ -1153,5 +1186,6 @@ QUERIES = {
     "simhash_pairs": (q_simhash_pairs, Q_SIMHASH_PAIRS_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, Q_MINHASH_LSH_PAIRS_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
+    "multimodal_resize": (q_multimodal_resize, Q_MULTIMODAL_RESIZE_SQL),
     "label_centroid": (q_label_centroid, Q_LABEL_CENTROID_SQL),
 }

@@ -209,6 +209,20 @@ def test_multimodal_plumbing(spark):
     )
 
 
+def test_multimodal_resize(spark):
+    media = multimodal.synth_media(spark, 12)
+    t = multimodal.resize_thumbs(media, width=4, height=2).collect()
+    by_id = {r["media_id"]: r for r in t}
+    # only image rows (media_id % 3 == 0), every thumb exactly w*h bytes
+    assert set(by_id) == {0, 3, 6, 9}
+    assert all(len(r["thumb"]) == 8 for r in t)
+    # nearest-neighbor stride of the deterministic payload
+    pay = bytes(((3 * 131 + j * 17) % 256) for j in range(64 + 3))
+    want = bytes(pay[(k * len(pay)) // 8] for k in range(8))
+    assert bytes(by_id[3]["thumb"]) == want
+    assert by_id[3]["n_bytes_in"] == 67
+
+
 def test_corpus_lines(spark):
     d = spark.createDataFrame(
         [("http://a:80/", "line1\nline2\rline3")],
