@@ -69,7 +69,7 @@ print("RESULT " + json.dumps({{
 
 def run_at(cores: int, web: str) -> dict:
     env = dict(os.environ)
-    env.setdefault("SPARKCRAWL_DRIVER_MEM", "16g")
+    # no 16g heap override — see bench/scaling.py note (ContextCleaner stall)
     out = subprocess.run(
         [sys.executable, "-c", WORKER.format(repo=REPO), str(cores), web],
         capture_output=True, text=True, timeout=1800, env=env,

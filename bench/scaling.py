@@ -66,7 +66,9 @@ print("RESULT " + json.dumps({{
 def run_at(cores: int, size: str, rounds: int, web: str) -> dict:
     code = WORKER.format(repo=REPO)
     env = dict(os.environ)
-    env.setdefault("SPARKCRAWL_DRIVER_MEM", "16g")
+    # NOTE: deliberately no 16g driver-heap override — outsized heaps GC so
+    # rarely that the ContextCleaner stalls and successive jobs degrade
+    # (see session.py periodicGC note); the 8g default measures flat.
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), size, str(rounds), web],
         capture_output=True, text=True, timeout=3600, env=env,

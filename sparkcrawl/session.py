@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARKCRAWL_DRIVER_MEM", "8g"))
+        # Large heaps GC so rarely that the weak-reference ContextCleaner
+        # never fires, so per-job shuffle/broadcast state accumulates and
+        # each successive job slows down (measured: identical 8-core passes
+        # at 11 -> 23 -> 47 s with a 16g heap; flat at ~5 s with GC forced).
+        # An iterative frontier loop runs thousands of jobs per session —
+        # periodic driver GC is the standard remedy (default is 30min).
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
