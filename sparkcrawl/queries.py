@@ -1007,6 +1007,29 @@ FROM tb GROUP BY media_id
 """
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plan: (media_id, frame_idx) rows derived from
+    typed metadata JVM-side (explode of a sequence — no decode, uniform
+    downstream partitions). every_n=10 over synth n_frames = 30*(i%5)."""
+    from sparkcrawl import multimodal
+
+    media = multimodal.synth_media(spark, 128)
+    return multimodal.frame_sample_plan(media, every_n=10)
+
+
+Q_MULTIMODAL_FRAMES_SQL = """
+WITH m AS (SELECT unnest(range(0, 128)) AS media_id),
+v AS (
+  SELECT media_id, 30 * (media_id % 5) AS n_frames
+  FROM m WHERE media_id % 3 = 2
+)
+SELECT media_id,
+       CAST(unnest(range(0, greatest(n_frames - 1, 0) + 1, 10)) AS INTEGER)
+         AS frame_idx
+FROM v WHERE n_frames > 0
+"""
+
+
 def q_label_centroid(spark, sf_dir):
     """IVF-style per-label centroid cosine, made deterministic by integer
     quantization of the centroid sum (annsearch.label_centroid_cosine) so
@@ -1187,5 +1210,6 @@ QUERIES = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, Q_MINHASH_LSH_PAIRS_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
     "multimodal_resize": (q_multimodal_resize, Q_MULTIMODAL_RESIZE_SQL),
+    "multimodal_frames": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
     "label_centroid": (q_label_centroid, Q_LABEL_CENTROID_SQL),
 }
