@@ -79,6 +79,32 @@ def test_bloom_off_identical(spark, fixtures, fixture_paths, tmp_path,
     assert trace == oracle_result.trace
 
 
+def test_engine_matches_oracle_t1(spark, tmp_path):
+    """Full-crawl trace/seen/text equality at the t1 profile (200 hosts /
+    ~2.4k pages — an order of magnitude past the tiny web, exercising
+    multi-round delay clocks, the mega-host, and content dup clusters at
+    volume)."""
+    from gen_fixtures import generate, write_parquet
+    from sparkcrawl.filters import FilterConfig as FC
+
+    fx = generate("t1", seed=42)
+    paths = write_parquet(fx, str(tmp_path / "t1web"))
+    # full fixpoint is 99 rounds (a ~16-URL/round crawl-delay tail); 12
+    # rounds carry the bulk of the volume and keep the test ~1 min
+    want = run_oracle(fx, max_rounds=12)
+    pages, meta, robots, seeds = load_inputs(spark, paths)
+    store = SnapshotStore(str(tmp_path / "t1store"))
+    cfg = CrawlConfig(filters=FC(banned_hosts=fx["banned_hosts"]))
+    CrawlEngine(spark, store, pages, meta, robots, cfg).run(
+        seeds, max_rounds=12
+    )
+    trace, seen, crawled = _collect(spark, store)
+    assert seen == want.seen
+    assert trace == want.trace
+    assert crawled == want.crawled  # byte-identical text at volume
+    assert len(trace) > 800  # 12 rounds of t1 carry ~870 traced URLs
+
+
 def test_no_broadcast_hint_identical(spark, fixtures, fixture_paths,
                                      tmp_path, oracle_result):
     """broadcast_host_state=False (the 10^8-host regime: shuffled host
