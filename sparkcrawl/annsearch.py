@@ -90,20 +90,25 @@ def banded_sign_buckets(df: DataFrame, n_bands: int = 4, band_bits: int = 4,
     (textops.lsh_candidate_pairs) for dense embeddings: a near-dup pair
     collides in SOME band with high probability, so the candidate join
     shuffles by (band, bucket) — never all-pairs."""
-    rows = []
-    for b in range(n_bands):
-        dims = tuple(range(b * band_bits, (b + 1) * band_bits))
-        rows.append(
-            df.select(
-                F.col(id_col),
+    # all bands in ONE projection + explode (a union of per-band selects
+    # would re-scan the source n_bands times)
+    pairs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                sign_bucket(F.col(vec_col), dims).alias("bucket"),
+                sign_bucket(
+                    F.col(vec_col),
+                    tuple(range(b * band_bits, (b + 1) * band_bits)),
+                ).alias("bucket"),
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+            for b in range(n_bands)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(pairs).alias("_bb")).select(
+        id_col,
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
+    )
 
 
 def embedding_near_dup(df: DataFrame, threshold: float = 0.35,
@@ -141,6 +146,30 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.35,
     )
 
 
+def _quantized_centroids(d: DataFrame, key_col: str, emb_col: str = "_e",
+                         quant: int = 1_000_000) -> DataFrame:
+    """(key, centroid array<double>) per key — order-free exact mean.
+
+    Components are quantized to integers before aggregation (integer sums
+    are exact regardless of partitioning/order), then divided once; see
+    label_centroid_cosine for the determinism rationale. Shared by the
+    label-centroid and IVF cell builds."""
+    dims = d.select(key_col, F.posexplode(emb_col).alias("dim", "v"))
+    qv = F.round(F.col("v") * quant).cast("long")
+    cent = dims.groupBy(key_col, "dim").agg(
+        F.sum(qv).alias("s"), F.count("*").alias("n")
+    )
+    comp = F.col("s").cast("double") / (F.col("n") * F.lit(float(quant)))
+    return (
+        cent.select(key_col, "dim", comp.alias("c"))
+        .groupBy(key_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            key_col, F.transform("dc", lambda s: s["c"]).alias("centroid")
+        )
+    )
+
+
 def ivf_topk(df: DataFrame, qvec: list[float], k: int = 10, nprobe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """IVF-style ANN: coarse cells = sign buckets, cell centroids built with
@@ -151,22 +180,10 @@ def ivf_topk(df: DataFrame, qvec: list[float], k: int = 10, nprobe: int = 4,
     Fully declarative — cell ranking is a broadcast-joined top-nprobe plan,
     no driver collect; at scale the scan reads only the probed cells
     (bucket is the partition column of a real IVF layout)."""
-    quant = 1_000_000
     d = with_sign_bucket(df, vec_col).withColumn(
         "_e", F.transform(F.col(vec_col), lambda x: x.cast("double"))
     )
-    dims = d.select("bucket", F.posexplode("_e").alias("dim", "v"))
-    qv = F.round(F.col("v") * quant).cast("long")
-    cent = dims.groupBy("bucket", "dim").agg(
-        F.sum(qv).alias("s"), F.count("*").alias("n")
-    )
-    comp = F.col("s").cast("double") / (F.col("n") * F.lit(float(quant)))
-    centroids = (
-        cent.select("bucket", "dim", comp.alias("c"))
-        .groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
-        .select("bucket", F.transform("dc", lambda s: s["c"]).alias("centroid"))
-    )
+    centroids = _quantized_centroids(d, "bucket")
     q = F.array(*[F.lit(float(x)) for x in qvec])
     ccos = _dot(F.col("centroid"), q) / (_norm(F.col("centroid")) * _norm(q))
     probed = (
@@ -200,19 +217,7 @@ def label_centroid_cosine(df: DataFrame,
     output rounding."""
     emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     d = df.withColumn("_e", emb_d)
-    dims = d.select(
-        id_col, "label", F.posexplode("_e").alias("dim", "v")
-    )
-    qv = F.round(F.col("v") * quant).cast("long")
-    cent = dims.groupBy("label", "dim").agg(
-        F.sum(qv).alias("s"), F.count("*").alias("n")
-    )
-    comp = F.col("s").cast("double") / (F.col("n") * F.lit(float(quant)))
-    centroids = cent.select("label", "dim", comp.alias("c")).groupBy(
-        "label"
-    ).agg(
-        F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
-    ).select("label", F.transform("dc", lambda s: s["c"]).alias("centroid"))
+    centroids = _quantized_centroids(d, "label", quant=quant)
     j = d.join(F.broadcast(centroids), "label")
     cos = _dot(F.col("_e"), F.col("centroid")) / (
         _norm(F.col("_e")) * _norm(F.col("centroid"))

@@ -282,18 +282,30 @@ class CrawlEngine:
         session's configured value is the ceiling and is restored after)."""
         if not self.cfg.adaptive_shuffle:
             return self._run_round(round_no)
-        est = max(int(self.store.meta.get("n_frontier", 0)), 1)
-        tgt = min(
-            self._max_shuffle,
-            max(1, -(-est // self.cfg.shuffle_rows_per_partition)),
-        )
+        # ceiling + restore value = the CURRENT session conf (not the
+        # construction-time snapshot), so a caller adjusting the conf
+        # between rounds is honored, never clobbered
+        cur = self.spark.conf.get("spark.sql.shuffle.partitions")
+        ceiling = int(cur) if str(cur).isdigit() else self._max_shuffle
+        est = self.store.meta.get("n_frontier")
+        if est is None:
+            # unknown frontier size (externally seeded / legacy store):
+            # keep full width rather than guessing small
+            tgt = ceiling
+        else:
+            tgt = min(
+                ceiling,
+                max(
+                    1,
+                    -(-max(int(est), 1)
+                      // self.cfg.shuffle_rows_per_partition),
+                ),
+            )
         self.spark.conf.set("spark.sql.shuffle.partitions", str(tgt))
         try:
             return self._run_round(round_no)
         finally:
-            self.spark.conf.set(
-                "spark.sql.shuffle.partitions", str(self._max_shuffle)
-            )
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(cur))
 
     def _run_round(self, round_no: int) -> dict:
         t0 = time.time()
