@@ -1067,6 +1067,62 @@ FROM e JOIN cvec USING (label)
 """
 
 
+def q_agg_rollup(spark, sf_dir):
+    """Hierarchical rollup aggregate (source -> lang -> grand total) —
+    classical-coverage demo of Spark's rollup/grouping-sets path (absent
+    from the reference, SURVEY §2.11)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+Q_AGG_ROLLUP_SQL = """
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+
+def q_range_join_bucketed(spark, sf_dir):
+    """Time-range join (click -> purchases within the next 10 minutes) via
+    the scale-safe bucketed pattern: both sides keyed by floor(epoch/600),
+    the probe side exploded to (bucket, bucket+1), equi-join on bucket,
+    exact range predicate after. A plain theta join plans as a nested-loop
+    product (O(|A|x|B|) at 10^10 rows); the bucket equi-join shuffles by
+    key and touches only temporally-adjacent pairs. The oracle IS the
+    naive theta join, so the test proves the rewrite exact."""
+    e = _t(spark, sf_dir, "events")
+    win = 600
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("a_ts")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("b_ts")
+    )
+    abkt = F.floor(F.unix_timestamp("a_ts") / win).cast("long")
+    a = a.withColumn("bucket", F.explode(F.array(abkt, abkt + 1)))
+    b = b.withColumn(
+        "bucket", F.floor(F.unix_timestamp("b_ts") / win).cast("long")
+    )
+    j = a.join(b, "bucket").filter(
+        (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") < F.col("a_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return j.select("click_id", "purchase_id")
+
+
+Q_RANGE_JOIN_SQL = """
+WITH a AS (SELECT event_id AS click_id, ts AS a_ts FROM events
+           WHERE event_type = 'click'),
+b AS (SELECT event_id AS purchase_id, ts AS b_ts FROM events
+      WHERE event_type = 'purchase')
+SELECT click_id, purchase_id
+FROM a JOIN b ON b_ts >= a_ts AND b_ts < a_ts + INTERVAL 10 MINUTE
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via banded sign-LSH (4 bands x 4 sign
     bits over disjoint dims) + exact JVM-fold cosine >= 0.35 on candidates.
@@ -1189,6 +1245,8 @@ QUERIES = {
     "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
     "tpch_pricing": (q_tpch_pricing, Q_TPCH_PRICING_SQL),
     "revenue_per_nation": (q_revenue_per_nation, Q_REVENUE_PER_NATION_SQL),
+    "agg_rollup": (q_agg_rollup, Q_AGG_ROLLUP_SQL),
+    "range_join_bucketed": (q_range_join_bucketed, Q_RANGE_JOIN_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "minhash_signatures": (q_minhash_signatures, Q_MINHASH_SIGNATURES_SQL),
     "jaccard_pairs": (q_jaccard_pairs, Q_JACCARD_PAIRS_SQL),

@@ -94,3 +94,13 @@ def test_embedding_near_dup_no_cartesian(spark):
     # cartesian/nested-loop product over the vectors
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    from sparkcrawl.queries import q_range_join_bucketed
+
+    plan = _plan(q_range_join_bucketed(spark, "/root/testdata/sf0.001"))
+    # the bucketed rewrite must plan as an equi-join on bucket — a naive
+    # theta join would appear as a nested-loop/cartesian product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
