@@ -69,6 +69,31 @@ class CrawlConfig:
 # ---------------------------------------------------------------------------
 
 
+def attach_rank(
+    d: DataFrame, offsets: dict[int, int], order_cols: list[str],
+    col: str = "seq", base: int = 0,
+) -> DataFrame:
+    """Rank rows of a partition-id-tagged frame WITHOUT a global window:
+    ``col`` = base + offsets[_pid] + row_number within _pid by order_cols.
+
+    ``d`` must carry ``_pid`` (spark_partition_id of a range partitioning on
+    order_cols) and ``offsets`` the cumulative row counts of the preceding
+    partitions. The window partitions by _pid — never an empty partitionBy,
+    so no stage funnels the frame through one task (plan-guarded in
+    tests/test_plans.py). Drops _pid."""
+    if offsets:
+        kv = []
+        for pid, ofs in offsets.items():
+            kv.extend([F.lit(pid), F.lit(ofs)])
+        off = F.coalesce(F.create_map(*kv)[F.col("_pid")], F.lit(0))
+    else:
+        off = F.lit(0)
+    w = W.partitionBy("_pid").orderBy(*order_cols)
+    return d.withColumn(
+        col, F.lit(base) + off + F.row_number().over(w)
+    ).drop("_pid")
+
+
 def dense_seq(
     df: DataFrame, order_cols: list[str], base: int,
     size_bound: int | None = None,
@@ -106,18 +131,7 @@ def dense_seq(
         offsets[pid] = acc
         acc += counts[pid]
     # offsets as a literal map expression — codegen'd, no Python per row
-    if offsets:
-        kv = []
-        for pid, ofs in offsets.items():
-            kv.extend([F.lit(pid), F.lit(ofs)])
-        off = F.coalesce(F.create_map(*kv)[F.col("_pid")], F.lit(0))
-    else:
-        off = F.lit(0)
-    w = W.partitionBy("_pid").orderBy(*order_cols)
-    out = d.withColumn(
-        "seq", F.lit(base) + off + F.row_number().over(w)
-    ).drop("_pid")
-    return out, acc
+    return attach_rank(d, offsets, order_cols, col="seq", base=base), acc
 
 
 def _empty(spark: SparkSession, schema) -> DataFrame:
@@ -288,24 +302,24 @@ class CrawlEngine:
         cur = self.spark.conf.get("spark.sql.shuffle.partitions")
         ceiling = int(cur) if str(cur).isdigit() else self._max_shuffle
         est = self.store.meta.get("n_frontier")
-        if est is None:
-            # unknown frontier size (externally seeded / legacy store):
-            # keep full width rather than guessing small
-            tgt = ceiling
-        else:
-            tgt = min(
-                ceiling,
-                max(
-                    1,
-                    -(-max(int(est), 1)
-                      // self.cfg.shuffle_rows_per_partition),
-                ),
-            )
+        tgt = self._shuffle_target(est, ceiling)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(tgt))
         try:
             return self._run_round(round_no)
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", str(cur))
+
+    def _shuffle_target(self, est, ceiling: int | None = None) -> int:
+        """Spill-aware per-round shuffle width: clamp(ceil(est / rows_per),
+        1, ceiling). est=None (externally seeded / legacy store) keeps full
+        width rather than guessing small. The single source of truth for
+        the sizing formula (asserted directly by test_engine_e2e)."""
+        if ceiling is None:
+            ceiling = self._max_shuffle
+        if est is None:
+            return ceiling
+        per = self.cfg.shuffle_rows_per_partition
+        return min(ceiling, max(1, -(-max(int(est), 1) // per)))
 
     def _run_round(self, round_no: int) -> dict:
         t0 = time.time()
@@ -468,17 +482,26 @@ class CrawlEngine:
 
         # ---- counters: ONE pass over the per-row action column (branch mix
         # of non-GET rows + extract outcomes) instead of per-frame collects;
-        # the same frame is the trace that gets written below. Submitted
-        # concurrently with the anti-join/seq jobs — everything both read
-        # (fx/got checkpoints) was materialized by the count above ----
+        # the same frame is the trace that gets written below. The frame is
+        # RANGE-partitioned on seq and the counters group by (_pid, action),
+        # so the one collect yields both the action totals AND the per-
+        # partition prefix offsets that turn the within-partition rank into
+        # the global trace ``ord`` — no single-partition window anywhere
+        # (attach_rank; the round's one-task funnel this replaces was the
+        # hot-loop scale-killer flagged in round 1). Submitted concurrently
+        # with the anti-join/seq jobs — everything both read (fx/got
+        # checkpoints) was materialized by the count above ----
+        n_tr = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         traced = (
             fx.filter(F.col("_pre") != "get")
             .select("seq", "url_norm", "host", F.col("_pre").alias("action"))
             .unionByName(got.select("seq", "url_norm", "host", "action"))
+            .repartitionByRange(n_tr, F.col("seq"))
+            .withColumn("_pid", F.spark_partition_id())
         ).localCheckpoint(eager=False)
         with ThreadPoolExecutor(max_workers=1) as cex:
             counts_f = cex.submit(
-                lambda: traced.groupBy("action")
+                lambda: traced.groupBy("_pid", "action")
                 .agg(F.count("*").alias("n"))
                 .collect()
             )
@@ -494,7 +517,15 @@ class CrawlEngine:
                 new_rows, ["parent_seq", "link_idx"],
                 base=round_no << ROUND_SHIFT, size_bound=n_links,
             )
-            counts = {r["action"]: r["n"] for r in counts_f.result()}
+            counts: dict[str, int] = {}
+            pid_counts: dict[int, int] = {}
+            for r in counts_f.result():
+                counts[r["action"]] = counts.get(r["action"], 0) + r["n"]
+                pid_counts[r["_pid"]] = pid_counts.get(r["_pid"], 0) + r["n"]
+            tr_offsets, acc = {}, 0
+            for pid in sorted(pid_counts):
+                tr_offsets[pid] = acc
+                acc += pid_counts[pid]
         n_selected = sum(counts.values())
         tk("seen+seq+counters")
         if n_selected == 0:
@@ -546,12 +577,14 @@ class CrawlEngine:
         new_clock = host_clock.join(
             got_hosts.select("host"), "host", "left_anti"
         ).unionByName(got_hosts)
-        # trace: every selected row gets exactly one action; ord ranks the
-        # SELECTED set only (≤ hosts×cap rows), never the corpus
-        ord_w = W.partitionBy(F.lit(1)).orderBy("seq")
-        trace = traced.select(
+        # trace: every selected row gets exactly one action; ord = global
+        # rank by seq, assembled partition-free from the range partitioning
+        # + the prefix offsets the counters collect already paid for
+        trace = attach_rank(
+            traced, tr_offsets, ["seq"], col="ord"
+        ).select(
             F.lit(round_no).alias("round"),
-            F.row_number().over(ord_w).alias("ord"),
+            F.col("ord").cast("int").alias("ord"),
             "url_norm", "host", "action",
         )
         lineage = (

@@ -272,12 +272,18 @@ FROM urls u JOIN documents d ON u.doc_id = d.doc_id
 def q_export_rotation(spark, sf_dir):
     """K1 file rotation: 10,000 lines per corpus file
     (StorageServer.java:210-216) -> (file_idx, n_lines) with 100-line files
-    so small SFs produce several."""
+    so small SFs produce several.
+
+    The global line number comes from engine.dense_seq (range-partitioned
+    two-phase rank) — NEVER a bare ``row_number() OVER (ORDER BY ...)``,
+    which would funnel the corpus through one task at scale (the round-1
+    perf-weak finding; plan-guarded in tests/test_plans.py)."""
+    from sparkcrawl.engine import dense_seq
+
     d = _t(spark, sf_dir, "documents")
-    w = W.orderBy("doc_id")
+    d, _ = dense_seq(d, ["doc_id"], base=0)
     return (
-        d.withColumn("rn", F.row_number().over(w) - 1)
-        .withColumn("file_idx", (F.col("rn") / 100).cast("long"))
+        d.withColumn("file_idx", ((F.col("seq") - 1) / 100).cast("long"))
         .groupBy("file_idx")
         .agg(F.count("*").alias("n_lines"))
     )

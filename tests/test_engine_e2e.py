@@ -204,9 +204,8 @@ def test_adaptive_shuffle_scopes_to_round(spark, fixture_paths, tmp_path):
     eng.init_frontier(seeds)
     eng.run_round(1)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
-    # clamp math: ceiling is the session value, floor is 1
-    cfg = eng.cfg
-    per = cfg.shuffle_rows_per_partition
+    # clamp math, asserted against the engine's own sizing code path
+    per = eng.cfg.shuffle_rows_per_partition
     for est, want in [
         (0, 1),
         (1, 1),
@@ -214,5 +213,6 @@ def test_adaptive_shuffle_scopes_to_round(spark, fixture_paths, tmp_path):
         (per + 1, 2),
         (per * eng._max_shuffle * 10, eng._max_shuffle),
     ]:
-        got = min(eng._max_shuffle, max(1, -(-max(est, 1) // per)))
-        assert got == want
+        assert eng._shuffle_target(est) == want
+    assert eng._shuffle_target(None) == eng._max_shuffle
+    assert eng._shuffle_target(10**9, ceiling=7) == 7

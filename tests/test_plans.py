@@ -96,6 +96,47 @@ def test_embedding_near_dup_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_attach_rank_window_partitions_by_pid(spark):
+    """The engine's global-rank machinery (dense_seq / attach_rank / trace
+    ord) must window over the range-partition id — never an empty
+    PARTITION BY, which funnels the frame through one task."""
+    from sparkcrawl.engine import attach_rank
+
+    d = spark.createDataFrame(
+        [(i, i % 3) for i in range(9)], "seq long, _pid int"
+    )
+    out = attach_rank(d, {0: 0, 1: 3, 2: 6}, ["seq"], col="ord")
+    plan = _plan(out)
+    assert "Window" in plan
+    assert "hashpartitioning(_pid" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_no_single_partition_windows_in_source():
+    """Source-level regression guard for the round-1 perf-weak findings:
+    no `partitionBy(F.lit(...))` anywhere, and bare global `W.orderBy(`
+    windows only in metrics.py (whose input is one row per ROUND — bounded
+    by round count, not by data volume)."""
+    import pathlib
+
+    src_dir = pathlib.Path(__file__).parent.parent / "sparkcrawl"
+    for path in sorted(src_dir.glob("*.py")):
+        text = path.read_text()
+        assert "partitionBy(F.lit" not in text, path.name
+        if path.name != "metrics.py":
+            assert "W.orderBy(" not in text, path.name
+
+
+def test_export_rotation_no_global_window(spark):
+    from sparkcrawl.queries import q_export_rotation
+
+    out = q_export_rotation(spark, "/root/testdata/sf0.001")
+    plan = _plan(out)
+    # dense_seq ranks within range partitions; the only exchanges are the
+    # range partitioning and the final groupBy — nothing single-partition
+    assert "hashpartitioning(_pid" in plan or "Window" not in plan
+
+
 def test_range_join_is_equi_not_nested_loop(spark):
     from sparkcrawl.queries import q_range_join_bucketed
 
