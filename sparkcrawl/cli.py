@@ -32,6 +32,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--max-docs", type=int, default=1_000_000_000)
     ap.add_argument("--export", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--recrawl", action="store_true",
+        help="incremental re-crawl: previous pass's docs become the "
+             "If-Modified-Since cache; frontier/seen reset from seeds "
+             "(304 branch, CrawlerBolt.java:460-485)",
+    )
     ap.add_argument("--no-bloom", action="store_true")
     args = ap.parse_args(argv)
 
@@ -65,6 +71,9 @@ def main(argv: list[str] | None = None) -> None:
         seeds = spark.read.schema(S.SEEDS).parquet(
             f"{args.web}/seeds.parquet"
         )
+    if args.recrawl:
+        eng.init_recrawl(seeds)
+        seeds = None
     res = eng.run(seeds, max_rounds=args.max_rounds)
     print(json.dumps(res))
     if args.export:

@@ -236,16 +236,16 @@ class CrawlEngine:
 
     # ---- bootstrap ----
 
-    def init_frontier(self, seeds: DataFrame) -> None:
-        """Seeds -> round-0 frontier + seen + host_priority (atomic commit).
+    def _seed_frames(
+        self, seeds: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Seeds -> (frontier, seen, host_priority) round-0 frames.
 
         Reference: seeds enqueue directly, bypassing filters
         (XPathCrawler.java:59-100); priority classes attach to the seed's
         host (URLFrontier.java:32-39 hard-codes host sets; we derive them
         from the seeds table per FIXTURES.md §3).
         """
-        if self.store.committed_round >= 0:
-            return  # resuming — state already committed
         s = seeds.withColumn(
             "url_norm", canonicalize_udf(F.lit(None), F.col("url"))
         ).filter(F.col("url_norm").isNotNull())
@@ -269,6 +269,13 @@ class CrawlEngine:
         host_priority = s.groupBy("host").agg(
             F.min("priority").alias("priority")
         )
+        return frontier, seen, host_priority
+
+    def init_frontier(self, seeds: DataFrame) -> None:
+        """Seeds -> round-0 frontier + seen + host_priority (atomic commit)."""
+        if self.store.committed_round >= 0:
+            return  # resuming — state already committed
+        frontier, seen, host_priority = self._seed_frames(seeds)
         seen = seen.cache()
         n_seeds = seen.count()
         self.store.stage_overwrite("frontier", frontier)
@@ -283,6 +290,65 @@ class CrawlEngine:
         self.store.commit(
             {"round": 0, "n_crawled": 0, "n_frontier": n_seeds,
              "n_seen": n_seeds, "bloom_bits": self.cfg.bloom_bits}
+        )
+
+    def init_recrawl(self, seeds: DataFrame) -> None:
+        """Begin an incremental re-crawl pass over a completed store: the
+        previous pass's stored docs become the ``doc_cache`` (the
+        If-Modified-Since clock), and the frontier/seen/clock/content-seen
+        state resets from the seeds for a fresh traversal.
+
+        Reference semantics (CrawlerBolt.java:460-485): when the DB already
+        holds a doc for a url, the HEAD carries If-Modified-Since =
+        doc.getLastChecked(); a 304 reuses the cached doc — emitted with
+        toStore="false", so links are re-extracted but the doc is NOT
+        re-stored (DocumentParserBolt.java:162-166) and the host's
+        lastCrawled still updates (CrawlerBolt.java:479). We model the
+        INTENDED 304 semantics ("retrieve cached document and extract
+        links", CrawlerBolt.java:476 comment): the not_modified row's links
+        are followed and content_seen is untouched. (In the literal
+        reference the re-emitted cached doc would die at the persistent
+        content-dedup get-or-put, DocumentParserBolt.java:155-159 — dead-
+        path plumbing we do not reproduce; documented in COVERAGE.md.)
+
+        Multi-pass: the new cache = this pass's crawled docs + prior cache
+        entries that were NOT re-fetched (the reference DB keeps old DocVals
+        unless addDocInfo overwrites them)."""
+        assert self.store.committed_round >= 0, \
+            "init_recrawl needs a completed prior pass"
+        spark, store = self.spark, self.store
+        crawled = store.read(spark, "crawled", S.CRAWLED)
+        cache = crawled.select(
+            "url_norm", F.col("warc_ts").alias("cached_ts"),
+            "content_hash", "text", "lang",
+        )
+        if store.exists("doc_cache"):
+            old = store.read(spark, "doc_cache", S.DOC_CACHE)
+            cache = cache.unionByName(
+                old.join(crawled.select("url_norm"), "url_norm", "left_anti")
+            )
+        frontier, seen, host_priority = self._seed_frames(seeds)
+        seen = seen.cache()
+        n_seeds = seen.count()
+        store.stage_overwrite("doc_cache", cache)
+        store.stage_overwrite("frontier", frontier)
+        store.stage_overwrite("seen", seen)
+        store.stage_overwrite("host_priority", host_priority)
+        store.stage_overwrite("host_clock", _empty(spark, S.HOST_CLOCK))
+        store.stage_overwrite("content_seen", _empty(spark, S.CONTENT_SEEN))
+        store.stage_overwrite("crawled", _empty(spark, S.CRAWLED))
+        store.stage_overwrite("trace", _empty(spark, S.TRACE))
+        store.stage_overwrite("metrics", _empty(spark, S.METRICS))
+        store.stage_overwrite("lineage", _empty(spark, S.LINEAGE))
+        if self.cfg.use_bloom:
+            self._bloom = seenmod.BloomState(self.cfg.bloom_bits)
+            self._bloom.add_hashes_df(seen)
+            self._save_bloom()
+        seen.unpersist()
+        self.store.commit(
+            {"round": 0, "pass": int(self.store.meta.get("pass", 1)) + 1,
+             "n_crawled": 0, "n_frontier": n_seeds, "n_seen": n_seeds,
+             "bloom_bits": self.cfg.bloom_bits}
         )
 
     # ---- one round ----
@@ -377,6 +443,18 @@ class CrawlEngine:
         fx = sel.join(pg_hits, "url_norm", "left").join(
             mt_hits, "url_norm", "left"
         )
+        # incremental re-crawl: join the previous pass's doc cache (the
+        # If-Modified-Since clock — CrawlerBolt.java:473-475). Same key-only
+        # prune as the pages join; at 10^10 scale the cache is the same
+        # Iceberg table family as `crawled`, bucketed on bucket(url), so
+        # this is one more co-partitioned storage-bucketed join.
+        has_cache = store.exists("doc_cache")
+        if has_cache:
+            dc = store.read(spark, "doc_cache", S.DOC_CACHE).select(
+                "url_norm", "cached_ts"
+            )
+            fx = fx.join(dc.join(sel_keys, "url_norm", "left_semi"),
+                         "url_norm", "left")
         has_page = F.col("html").isNotNull() | F.col("http_status").isNotNull()
         status = F.coalesce(F.col("http_status"), F.lit(200))
         ctype = F.coalesce(F.col("content_type"), F.lit("text/html"))
@@ -392,34 +470,63 @@ class CrawlEngine:
             .when((status >= 300) & (status < 400), F.lit("redirect"))
             .when(status == 404, F.lit("not_found"))
             .when(status >= 400, F.lit("server_error"))
+        )
+        if has_cache:
+            # 304: server would serve content (2xx) AND the page is not
+            # newer than the cached copy. The reference checks 304 FIRST on
+            # the HEAD response (CrawlerBolt.java:476-485, before type/size)
+            # — a conditional HEAD on a 3xx/4xx/5xx url answers with that
+            # status, never 304, so placing the branch after the status
+            # branches is order-equivalent; it correctly precedes the
+            # client-side type/size checks.
+            not_mod = (
+                F.col("cached_ts").isNotNull()
+                & F.col("warc_ts").isNotNull()
+                & (F.col("warc_ts") <= F.col("cached_ts"))
+            )
+            pre_action = pre_action.when(not_mod, F.lit("not_modified"))
+        pre_action = (
+            pre_action
             .when(~is_html, F.lit("bad_type"))
             .when(clen > cfg.max_doc_size, F.lit("too_big"))
             .otherwise(F.lit("get"))
         )
-        fx = fx.withColumn("_pre", pre_action).localCheckpoint(eager=False)
+        fx = fx.withColumn("_pre", pre_action).drop(
+            "cached_ts"  # consumed by _pre; narrow (no-op without cache)
+        ).localCheckpoint(eager=False)
 
         leftover = frontier.join(
             selected.select("url_norm"), "url_norm", "left_anti"
         )
 
-        # 5. GET rows -> extract + content dedup + lang filter.
-        got = fx.filter(F.col("_pre") == "get")
+        # 5. GET + 304 rows -> extract; content dedup + lang filter on GETs.
+        fetchable = fx.filter(
+            F.col("_pre").isin("get", "not_modified")
+            if has_cache else (F.col("_pre") == "get")
+        )
         # Extraction runs on the selection's existing partitioning: after the
         # per-host cap every host contributes <= 15 rows, so host-hash
         # partitions are uniform and a mega-host CANNOT skew this stage
         # (the backlog skew was already absorbed by the salted top-k select).
         # html therefore never goes through an exchange; only the narrow
-        # extracted rows shuffle for the dedup window.
-        got = got.withColumn(
+        # extracted rows shuffle for the dedup window. 304 rows ride the
+        # same Arrow pass: their content is unchanged by definition, so
+        # extracting from the current page = re-extracting the cached doc
+        # (the toStore=false re-emit, DocumentParserBolt.java:162-225).
+        fetchable = fetchable.withColumn(
             "content_hash",
             F.xxhash64(F.coalesce(F.col("html"), F.lit(b""))),
         )
-        got = with_extracted(got).drop(
+        fetchable = with_extracted(fetchable).drop(
             "html", "page_lang", "_denied"
         )  # narrow before the window exchange
+        gets = (
+            fetchable.filter(F.col("_pre") == "get")
+            if has_cache else fetchable
+        )
         dup_w = W.partitionBy("content_hash").orderBy("seq")
-        got = got.withColumn("_dup_rn", F.row_number().over(dup_w))
-        got = got.join(
+        gets = gets.withColumn("_dup_rn", F.row_number().over(dup_w))
+        gets = gets.join(
             content_seen.select("content_hash").withColumn(
                 "_in_cs", F.lit(True)
             ),
@@ -437,12 +544,26 @@ class CrawlEngine:
             .when(~lang_ok, F.lit("not_html_lang"))
             .otherwise(F.lit("fetched"))
         )
-        got = got.withColumn("action", action).localCheckpoint(eager=False)
+        gets = gets.withColumn("action", action)
+        if has_cache:
+            # 304 rows skip dedup/lang (they passed both when first stored;
+            # content_seen stays untouched — the cached doc is not re-put)
+            nm = (
+                fetchable.filter(F.col("_pre") == "not_modified")
+                .withColumn("_dup_rn", F.lit(None).cast("int"))
+                .withColumn("_in_cs", F.lit(None).cast("boolean"))
+                .withColumn("action", F.lit("not_modified"))
+            )
+            got = gets.unionByName(nm).localCheckpoint(eager=False)
+        else:
+            got = gets.localCheckpoint(eager=False)
 
         fetched = got.filter(F.col("action") == "fetched")
+        # links follow from stored docs AND 304-reused cached docs
+        linkers = got.filter(F.col("action").isin("fetched", "not_modified"))
 
         # 6. candidate links: outlinks of stored pages + redirect targets
-        links = fetched.select(
+        links = linkers.select(
             F.col("seq").alias("parent_seq"),
             F.col("url_norm").alias("base_url"),
             F.col("depth").alias("parent_depth"),
@@ -493,7 +614,7 @@ class CrawlEngine:
         # checkpoints) was materialized by the count above ----
         n_tr = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         traced = (
-            fx.filter(F.col("_pre") != "get")
+            fx.filter(~F.col("_pre").isin("get", "not_modified"))
             .select("seq", "url_norm", "host", F.col("_pre").alias("action"))
             .unionByName(got.select("seq", "url_norm", "host", "action"))
             .repartitionByRange(n_tr, F.col("seq"))
@@ -571,6 +692,7 @@ class CrawlEngine:
         )
         # host clock: a GET happened for actions {fetched,dup_content,
         # not_html_lang} (lastCrawled set at GET — XPathCrawler.java:162-164)
+        # and a 304 HEAD also updates it (CrawlerBolt.java:479)
         got_hosts = got.select("host").distinct().withColumn(
             "last_round", F.lit(round_no)
         )
@@ -635,15 +757,16 @@ class CrawlEngine:
         )
         n_seen = int(prev_meta.get("n_seen", 0)) + n_admitted
         total = self._crawled_total() + n_fetched
-        store.commit(
-            {
-                "round": round_no,
-                "n_crawled": total,
-                "n_frontier": n_frontier,
-                "n_seen": n_seen,
-                "bloom_bits": prev_meta.get("bloom_bits", cfg.bloom_bits),
-            }
-        )
+        meta = {
+            "round": round_no,
+            "n_crawled": total,
+            "n_frontier": n_frontier,
+            "n_seen": n_seen,
+            "bloom_bits": prev_meta.get("bloom_bits", cfg.bloom_bits),
+        }
+        if "pass" in prev_meta:
+            meta["pass"] = prev_meta["pass"]
+        store.commit(meta)
         tk("commit")
         out = {
             "n_selected": n_selected, "n_fetched": n_fetched,

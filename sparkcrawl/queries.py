@@ -1233,10 +1233,66 @@ LIMIT 20
 """
 
 
+def q_recrawl_304(spark, sf_dir):
+    """F1 304/If-Modified-Since branch (CrawlerBolt.java:460-485): classify
+    each page of the current pass against the previous pass's doc cache —
+    the decision arm of engine._run_round's ``not_mod`` predicate
+    (sparkcrawl/engine.py, pre_action). Synthetic clock: every doc carries
+    warc_ts = epoch + (doc_id % 11) days; docs with doc_id % 7 == 0 were
+    modified since (+30 days); the cache holds docs with doc_id % 3 != 0
+    at the base clock. cached+unchanged -> not_modified (HEAD 304, reuse
+    cached doc, toStore=false); cached+newer -> refetch; uncached -> new."""
+    d = _t(spark, sf_dir, "documents")
+    cur = d.selectExpr(
+        "doc_id",
+        "timestamp'2024-01-01 00:00:00' + make_dt_interval(CAST("
+        "doc_id % 11 + CASE WHEN doc_id % 7 = 0 THEN 30 ELSE 0 END"
+        " AS INT)) AS warc_ts",
+    )
+    cache = d.filter("doc_id % 3 <> 0").selectExpr(
+        "doc_id",
+        "timestamp'2024-01-01 00:00:00' + "
+        "make_dt_interval(CAST(doc_id % 11 AS INT)) AS cached_ts",
+    )
+    j = cur.join(cache, "doc_id", "left")
+    not_mod = F.col("cached_ts").isNotNull() & (
+        F.col("warc_ts") <= F.col("cached_ts")
+    )
+    action = (
+        F.when(not_mod, F.lit("not_modified"))
+        .when(F.col("cached_ts").isNotNull(), F.lit("refetch"))
+        .otherwise(F.lit("new"))
+    )
+    return j.select("doc_id", action.alias("action"))
+
+
+Q_RECRAWL_304_SQL = """
+WITH cur AS (
+  SELECT doc_id,
+         TIMESTAMP '2024-01-01' + (doc_id % 11 +
+           CASE WHEN doc_id % 7 = 0 THEN 30 ELSE 0 END) * INTERVAL 1 DAY
+           AS warc_ts
+  FROM documents
+),
+cache AS (
+  SELECT doc_id,
+         TIMESTAMP '2024-01-01' + (doc_id % 11) * INTERVAL 1 DAY AS cached_ts
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT c.doc_id AS doc_id,
+       CASE WHEN k.cached_ts IS NOT NULL AND c.warc_ts <= k.cached_ts
+              THEN 'not_modified'
+            WHEN k.cached_ts IS NOT NULL THEN 'refetch'
+            ELSE 'new' END AS action
+FROM cur c LEFT JOIN cache k ON c.doc_id = k.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
+    "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
     "url_admission": (q_url_admission, Q_URL_ADMISSION_SQL),
     "seen_anti_join": (q_seen_anti_join, Q_SEEN_ANTI_JOIN_SQL),
     "canonicalize_ports": (q_canonicalize_ports, Q_CANONICALIZE_PORTS_SQL),

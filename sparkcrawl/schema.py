@@ -93,6 +93,20 @@ CRAWLED = T.StructType(
     ]
 )
 
+# incremental-recrawl doc cache: the previous pass's stored docs, used as
+# the If-Modified-Since clock (reference DocVal.getLastChecked(),
+# CrawlerBolt.java:460-485). cached_ts is the page's warc_ts at the time it
+# was crawled; a page whose current warc_ts <= cached_ts HEADs to 304.
+DOC_CACHE = T.StructType(
+    [
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("cached_ts", T.TimestampType(), True),
+        T.StructField("content_hash", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
 # host politeness clock: last round in which the host was fetched
 HOST_CLOCK = T.StructType(
     [
@@ -108,7 +122,7 @@ TRACE = T.StructType(
         T.StructField("url_norm", T.StringType(), False),
         T.StructField("host", T.StringType(), False),
         # fetched | redirect | not_found | server_error | bad_type | too_big |
-        # not_html_lang | dup_content | robots_denied
+        # not_html_lang | dup_content | robots_denied | not_modified
         T.StructField("action", T.StringType(), False),
     ]
 )

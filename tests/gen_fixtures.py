@@ -279,6 +279,41 @@ def generate(size: str = "tiny", seed: int = 42) -> dict:
     )
 
 
+def mutate(fixtures: dict, seed: int = 43, frac_modified: float = 0.25,
+           frac_touched: float = 0.05) -> dict:
+    """Deterministically evolve a synthetic web for incremental-recrawl
+    tests (the 304/If-Modified-Since branch, CrawlerBolt.java:460-485):
+
+    * ``frac_modified`` of OK pages get a new body paragraph + warc_ts
+      bumped 30 days (true modification -> re-fetch + re-store);
+    * ``frac_touched`` get ONLY the warc_ts bump (server claims modified,
+      content identical -> re-fetch, content-dedup interplay);
+    * everything else keeps identical bytes AND warc_ts -> HEAD says 304.
+
+    Links are never changed, so the link graph (and the politeness
+    schedule) stays comparable across passes."""
+    rng = random.Random(seed)
+    out = dict(fixtures)
+    pages = []
+    for r in fixtures["pages"]:
+        r = dict(r)
+        t = rng.random()
+        if t < frac_modified:
+            prng = random.Random(f"{seed}:mut:{r['url']}")
+            html = r["html"].decode("utf-8")
+            extra = f"<p>updated {_para(prng, 8)}</p>\n"
+            html2 = html.replace("</body>", extra + "</body>", 1)
+            ex = extract(html2.encode("utf-8"))
+            r["html"] = html2.encode("utf-8")
+            r["text"] = ex["text"]
+            r["warc_ts"] = r["warc_ts"] + dt.timedelta(days=30)
+        elif t < frac_modified + frac_touched:
+            r["warc_ts"] = r["warc_ts"] + dt.timedelta(days=30)
+        pages.append(r)
+    out["pages"] = pages
+    return out
+
+
 _SCHEMAS = {
     "pages": pa.schema(
         [("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),

@@ -49,7 +49,12 @@ def run_oracle(
     max_file_num: int = 10**9,
     max_doc_size: int = 5_000_000,
     fcfg: FilterConfig | None = None,
+    doc_cache: dict | None = None,
 ) -> OracleResult:
+    """doc_cache: {url_norm: cached_ts} from a previous pass — enables the
+    304/If-Modified-Since branch (CrawlerBolt.java:460-485): a cached url
+    whose page warc_ts <= cached_ts traces `not_modified`, updates the host
+    clock, re-extracts links, and is neither re-stored nor content-hashed."""
     fcfg = fcfg or FilterConfig(banned_hosts=fixtures.get("banned_hosts", ("xxx.com",)))
     pages = {r["url"]: r for r in fixtures["pages"]}
     meta = {r["url"]: r for r in fixtures["page_meta"]}
@@ -139,6 +144,20 @@ def run_oracle(
             if status >= 400:
                 traced.append((seq, un, host, "server_error"))
                 continue
+            # 304: cached copy still fresh -> HEAD answers 304 before the
+            # client-side type/size checks (CrawlerBolt.java:476-485).
+            # Links re-extracted from the (unchanged) body; doc not
+            # re-stored; content_seen untouched; host clock updates.
+            if doc_cache is not None:
+                cts = doc_cache.get(un)
+                wts = pg["warc_ts"] if pg else None
+                if cts is not None and wts is not None and wts <= cts:
+                    traced.append((seq, un, host, "not_modified"))
+                    got_hosts.add(host)
+                    ex = extract(pg["html"] if pg["html"] is not None else b"")
+                    for li, href in enumerate(ex["links"]):
+                        candidates.append((seq, li, un, depth, href))
+                    continue
             ctype = (m["content_type"] if m else None) or "text/html"
             if "text/html" not in ctype and not un.endswith(".html"):
                 traced.append((seq, un, host, "bad_type"))

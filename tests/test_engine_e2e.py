@@ -192,6 +192,77 @@ def test_crash_mid_round_atomicity(spark, fixtures, fixture_paths, tmp_path,
     assert crawled == oracle_result.crawled
 
 
+def test_recrawl_304_matches_oracle(spark, fixtures, fixture_paths,
+                                    tmp_path):
+    """Incremental re-crawl (304/If-Modified-Since, CrawlerBolt.java:
+    460-485): pass 1 crawls the web, the web mutates (25% modified bodies,
+    5% ts-touched-only, rest unchanged), pass 2 re-crawls with pass 1's
+    docs as the If-Modified-Since cache. The engine must match the oracle's
+    trace/seen/crawled exactly, with unchanged pages tracing not_modified
+    (links still followed, docs not re-stored)."""
+    from gen_fixtures import mutate, write_parquet
+    from oracle import run_oracle as _oracle
+
+    store_dir = str(tmp_path / "rc")
+    _run_engine(spark, fixtures, fixture_paths, store_dir)
+
+    fx2 = mutate(fixtures, seed=43)
+    paths2 = write_parquet(fx2, str(tmp_path / "web2"))
+    pages2, meta2, robots2, seeds2 = load_inputs(spark, paths2)
+    cfg = CrawlConfig(
+        filters=FilterConfig(banned_hosts=fixtures["banned_hosts"])
+    )
+    store = SnapshotStore(store_dir)
+    eng = CrawlEngine(spark, store, pages2, meta2, robots2, cfg)
+    eng.init_recrawl(seeds2)
+    eng.run(None)
+
+    o1 = run_oracle(fixtures)
+    pages1 = {r["url"]: r for r in fixtures["pages"]}
+    cache = {un: pages1[un]["warc_ts"] for un in o1.crawled}
+    o2 = _oracle(fx2, doc_cache=cache)
+
+    trace, seen, crawled = _collect(spark, store)
+    assert seen == o2.seen
+    assert trace == o2.trace
+    assert crawled == o2.crawled  # pass-2 stores = re-fetched docs only
+    actions = {a for (_, _, _, _, a) in trace}
+    assert "not_modified" in actions  # the 304 branch actually fired
+    assert any(un in cache for un in crawled)  # and so did re-fetches
+
+
+def test_recrawl_resume_identical(spark, fixtures, fixture_paths, tmp_path):
+    """Kill-and-resume INSIDE a recrawl pass reproduces the identical
+    trace (snapshot machinery is pass-agnostic)."""
+    from gen_fixtures import mutate, write_parquet
+    from oracle import run_oracle as _oracle
+
+    store_dir = str(tmp_path / "rcr")
+    _run_engine(spark, fixtures, fixture_paths, store_dir)
+    fx2 = mutate(fixtures, seed=43)
+    paths2 = write_parquet(fx2, str(tmp_path / "web2r"))
+    pages2, meta2, robots2, seeds2 = load_inputs(spark, paths2)
+    cfg = CrawlConfig(
+        filters=FilterConfig(banned_hosts=fixtures["banned_hosts"])
+    )
+    store = SnapshotStore(store_dir)
+    eng = CrawlEngine(spark, store, pages2, meta2, robots2, cfg)
+    eng.init_recrawl(seeds2)
+    eng.run(None, max_rounds=2)
+    # kill; fresh store + engine resumes the pass
+    store = SnapshotStore(store_dir)
+    eng = CrawlEngine(spark, store, pages2, meta2, robots2, cfg)
+    eng.run(None)
+
+    o1 = run_oracle(fixtures)
+    pages1 = {r["url"]: r for r in fixtures["pages"]}
+    cache = {un: pages1[un]["warc_ts"] for un in o1.crawled}
+    o2 = _oracle(fx2, doc_cache=cache)
+    trace, seen, crawled = _collect(spark, store)
+    assert trace == o2.trace
+    assert crawled == o2.crawled
+
+
 def test_adaptive_shuffle_scopes_to_round(spark, fixture_paths, tmp_path):
     """Adaptive sizing clamps shuffle partitions during a round and restores
     the session value after; tiny frontiers collapse to 1 partition."""
