@@ -62,6 +62,12 @@ class CrawlConfig:
     broadcast_host_state: bool = True
     use_bloom: bool = True
     bloom_bits: int = 1 << 23  # ~1M urls at 8 bits/key locally
+    # Bloom shard count B: shard = pmod(url_hash, B), one persisted file
+    # per shard (seen.BloomState). At 10^10 URLs the ~12 GB bitmap ships
+    # as B slices co-partitioned with the seen table's bucket(url_hash)
+    # layout so each executor loads only its buckets' shards; locally the
+    # same addressing runs with all shards resident.
+    bloom_shards: int = 8
     filters: FilterConfig = field(default_factory=FilterConfig)
     agent: str = robots.USER_AGENT
 
@@ -208,7 +214,13 @@ class CrawlEngine:
     def _bloom_path(self) -> str:
         import os
 
-        return os.path.join(self.store.root, "bloom.bin")
+        # sharded layout is a directory of per-shard files; the single-
+        # shard legacy layout stays a flat file (resume-compatible)
+        shards = int(
+            self.store.meta.get("bloom_shards", self.cfg.bloom_shards)
+        )
+        name = "bloom" if shards > 1 else "bloom.bin"
+        return os.path.join(self.store.root, name)
 
     def bloom(self) -> seenmod.BloomState:
         import os
@@ -217,11 +229,14 @@ class CrawlEngine:
             return self._bloom
         path = self._bloom_path()
         n_bits = int(self.store.meta.get("bloom_bits", self.cfg.bloom_bits))
+        n_shards = int(self.store.meta.get("bloom_shards", 1))
         if os.path.exists(path) and self.store.committed_round >= 0:
-            self._bloom = seenmod.BloomState.load(path, n_bits)
+            self._bloom = seenmod.BloomState.load(path, n_bits, n_shards)
         else:
             # resume without a bitmap: rebuild once from the seen table
-            self._bloom = seenmod.BloomState(self.cfg.bloom_bits)
+            self._bloom = seenmod.BloomState(
+                self.cfg.bloom_bits, self.cfg.bloom_shards
+            )
             if self.store.exists("seen"):
                 self._bloom.add_hashes_df(
                     self.store.read(self.spark, "seen", S.SEEN)
@@ -283,13 +298,16 @@ class CrawlEngine:
         self.store.stage_overwrite("host_priority", host_priority)
         self.store.stage_overwrite("host_clock", _empty(self.spark, S.HOST_CLOCK))
         if self.cfg.use_bloom:
-            self._bloom = seenmod.BloomState(self.cfg.bloom_bits)
+            self._bloom = seenmod.BloomState(
+                self.cfg.bloom_bits, self.cfg.bloom_shards
+            )
             self._bloom.add_hashes_df(seen)
             self._save_bloom()
         seen.unpersist()
         self.store.commit(
             {"round": 0, "n_crawled": 0, "n_frontier": n_seeds,
-             "n_seen": n_seeds, "bloom_bits": self.cfg.bloom_bits}
+             "n_seen": n_seeds, "bloom_bits": self.cfg.bloom_bits,
+             "bloom_shards": self.cfg.bloom_shards}
         )
 
     def init_recrawl(self, seeds: DataFrame) -> None:
@@ -341,14 +359,17 @@ class CrawlEngine:
         store.stage_overwrite("metrics", _empty(spark, S.METRICS))
         store.stage_overwrite("lineage", _empty(spark, S.LINEAGE))
         if self.cfg.use_bloom:
-            self._bloom = seenmod.BloomState(self.cfg.bloom_bits)
+            self._bloom = seenmod.BloomState(
+                self.cfg.bloom_bits, self.cfg.bloom_shards
+            )
             self._bloom.add_hashes_df(seen)
             self._save_bloom()
         seen.unpersist()
         self.store.commit(
             {"round": 0, "pass": int(self.store.meta.get("pass", 1)) + 1,
              "n_crawled": 0, "n_frontier": n_seeds, "n_seen": n_seeds,
-             "bloom_bits": self.cfg.bloom_bits}
+             "bloom_bits": self.cfg.bloom_bits,
+             "bloom_shards": self.cfg.bloom_shards}
         )
 
     # ---- one round ----
@@ -763,6 +784,7 @@ class CrawlEngine:
             "n_frontier": n_frontier,
             "n_seen": n_seen,
             "bloom_bits": prev_meta.get("bloom_bits", cfg.bloom_bits),
+            "bloom_shards": prev_meta.get("bloom_shards", 1),
         }
         if "pass" in prev_meta:
             meta["pass"] = prev_meta["pass"]

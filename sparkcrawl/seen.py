@@ -46,6 +46,19 @@ def _indices(hashes: np.ndarray, n_bits: int) -> np.ndarray:
         )
 
 
+def _sharded_indices(hashes: np.ndarray, shards: int,
+                     shard_bits: int) -> np.ndarray:
+    """(n,) hashes -> (k, n) bit indices into the CONCATENATED shard
+    bitmaps: shard = url_hash mod B (the pmod(url_hash, B) bucketing the
+    Iceberg seen table co-partitions on), bit = shard*shard_bits +
+    k-fold index within the shard's slice. shards=1 degenerates to
+    _indices exactly."""
+    if shards == 1:
+        return _indices(hashes, shard_bits)
+    s = (hashes.astype(np.uint64) % np.uint64(shards)).astype(np.int64)
+    return _indices(hashes, shard_bits) + s[None, :] * shard_bits
+
+
 def build_bloom(seen: DataFrame, n_bits: int) -> bytes:
     """OR-reduce per-partition bitmaps of the seen table's url_hash column.
 
@@ -84,35 +97,44 @@ def bloom_hit_udf(bitmap: bytes, n_bits: int):
 
 
 class BloomState:
-    """Incrementally-maintained broadcast Bloom filter over seen url_hashes.
+    """Incrementally-maintained broadcast Bloom filter over seen url_hashes,
+    SHARDED by pmod(url_hash, B).
 
     The engine ORs each round's ADMITTED hashes into the bitmap (one
     vectorized pass over the small delta), instead of rebuilding from the
     full seen table every round. Persisted alongside the snapshot for
-    resume; rebuilt from the seen table if the file is missing.
+    resume (one file per shard); rebuilt from the seen table if missing.
 
-    Scale note: at 10^10 URLs a single broadcast bitmap is ~12 GB — too big.
-    The production layout shards the filter by pmod(url_hash, B) bucket,
-    co-partitioned with the Iceberg seen table, so each executor loads only
-    its buckets' slices. The sandbox uses one bitmap (documented trade-off);
-    the hash/indexing math here is shard-agnostic.
+    Scale note: at 10^10 URLs a single broadcast bitmap is ~12 GB — too
+    big for one executor. The shard layout fixes that: shard =
+    pmod(url_hash, B), co-partitioned with the Iceberg seen table's
+    bucket(url_hash) layout, so each executor loads only the slices for
+    the url-hash buckets it processes, and each shard persists/loads as
+    its own file (load_shard). Locally all B slices live in one process
+    (the bitmap array is the concatenation of the shard slices), but
+    every code path — indexing, add, membership, save/load — goes through
+    the per-shard addressing, so nothing changes at 10^10 except which
+    subset of files an executor opens.
     """
 
-    def __init__(self, n_bits: int = 1 << 23):
+    def __init__(self, n_bits: int = 1 << 23, shards: int = 1):
+        assert n_bits % (shards * 8) == 0, "shards must byte-align the bitmap"
         self.n_bits = n_bits
-        self.bitmap = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+        self.shards = shards
+        self.shard_bits = n_bits // shards
+        self.bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
 
     def add_hashes_df(self, df: DataFrame) -> None:
         """OR the url_hash column of df into the bitmap (distributed
         per-partition vectorized bitmaps, OR-reduced)."""
-        n_bits = self.n_bits
-        n_bytes = (n_bits + 7) // 8
+        shards, shard_bits = self.shards, self.shard_bits
+        n_bytes = self.n_bits // 8
 
         def part(it):
             acc = np.zeros(n_bytes, dtype=np.uint8)
             hs = np.fromiter((r[0] for r in it), dtype=np.int64)
             if hs.size:
-                idx = _indices(hs, n_bits).ravel()
+                idx = _sharded_indices(hs, shards, shard_bits).ravel()
                 np.bitwise_or.at(
                     acc, idx >> 3, (1 << (idx & 7)).astype(np.uint8)
                 )
@@ -128,18 +150,60 @@ class BloomState:
         self.bitmap = np.bitwise_or(self.bitmap, delta)
 
     def hit_udf(self):
-        return bloom_hit_udf(self.bitmap.tobytes(), self.n_bits)
+        bitmap, shards, shard_bits = (
+            self.bitmap.tobytes(), self.shards, self.shard_bits
+        )
+        arr = np.frombuffer(bitmap, dtype=np.uint8)
+
+        @pandas_udf("boolean")
+        def _hit(h: pd.Series) -> pd.Series:
+            hv = h.to_numpy(dtype=np.int64)
+            idx = _sharded_indices(hv, shards, shard_bits)
+            bits = (arr[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+            return pd.Series(bits.all(axis=0).astype(bool))
+
+        return _hit
+
+    # ---- persistence: one immutable file per shard ----
+
+    def _shard_slice(self, s: int) -> np.ndarray:
+        nb = self.shard_bits // 8
+        return self.bitmap[s * nb:(s + 1) * nb]
 
     def save(self, path: str) -> None:
-        with open(path, "wb") as f:
-            f.write(self.bitmap.tobytes())
+        if self.shards == 1:
+            with open(path, "wb") as f:
+                f.write(self.bitmap.tobytes())
+            return
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        for s in range(self.shards):
+            with open(os.path.join(path, f"shard-{s:04d}.bin"), "wb") as f:
+                f.write(self._shard_slice(s).tobytes())
+
+    @staticmethod
+    def load_shard(path: str, s: int) -> np.ndarray:
+        """Read ONE shard's bitmap — the executor-side load unit at scale."""
+        import os
+
+        return np.fromfile(
+            os.path.join(path, f"shard-{s:04d}.bin"), dtype=np.uint8
+        )
 
     @classmethod
-    def load(cls, path: str, n_bits: int) -> "BloomState":
-        b = cls(n_bits)
-        arr = np.fromfile(path, dtype=np.uint8)
-        assert arr.size == b.bitmap.size, "bloom size mismatch"
-        b.bitmap = arr
+    def load(cls, path: str, n_bits: int, shards: int = 1) -> "BloomState":
+        b = cls(n_bits, shards)
+        if shards == 1:
+            arr = np.fromfile(path, dtype=np.uint8)
+            assert arr.size == b.bitmap.size, "bloom size mismatch"
+            b.bitmap = arr
+            return b
+        nb = b.shard_bits // 8
+        for s in range(shards):
+            arr = cls.load_shard(path, s)
+            assert arr.size == nb, f"bloom shard {s} size mismatch"
+            b.bitmap[s * nb:(s + 1) * nb] = arr
         return b
 
 

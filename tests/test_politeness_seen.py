@@ -78,6 +78,55 @@ def test_anti_join_bloom_exact(spark):
     assert len(with_bloom) == 5_000
 
 
+def test_sharded_bloom_membership_and_roundtrip(spark, tmp_path):
+    """Sharded BloomState (shard = pmod(url_hash, B)): every added hash
+    hits; per-shard files persist/load independently; anti-join results
+    identical at B=1 vs B=4 (exactness never depends on the Bloom)."""
+    import numpy as np
+
+    from sparkcrawl.seen import BloomState, anti_join_with_bloom
+
+    seen = spark.range(0, 6_000, 2).select(
+        F.concat(F.lit("http://h:80/c"), F.col("id")).alias("url_norm"),
+        F.xxhash64(F.concat(F.lit("http://h:80/c"), F.col("id"))).alias(
+            "url_hash"
+        ),
+        F.lit(0).alias("round_added"),
+    )
+    cand = spark.range(6_000).select(
+        F.concat(F.lit("http://h:80/c"), F.col("id")).alias("url_norm")
+    )
+    results = {}
+    for shards in (1, 4):
+        b = BloomState(1 << 16, shards=shards)
+        b.add_hashes_df(seen)
+        # no false negatives: every seen hash must hit
+        hits = seen.select(
+            b.hit_udf()(F.col("url_hash")).alias("h")
+        ).collect()
+        assert all(r["h"] for r in hits)
+        results[shards] = set(
+            r["url_norm"]
+            for r in anti_join_with_bloom(cand, seen, b).collect()
+        )
+        # save -> load roundtrip is bit-identical; B>1 writes one file
+        # per shard, loadable individually
+        path = str(tmp_path / f"bloom{shards}")
+        b.save(path)
+        b2 = BloomState.load(path, 1 << 16, shards)
+        assert np.array_equal(b.bitmap, b2.bitmap)
+        if shards > 1:
+            import os
+
+            assert sorted(os.listdir(path)) == [
+                f"shard-{s:04d}.bin" for s in range(shards)
+            ]
+            sl = BloomState.load_shard(path, 2)
+            assert np.array_equal(sl, b._shard_slice(2))
+    assert results[1] == results[4]
+    assert len(results[1]) == 3_000
+
+
 def test_dense_seq_global_rank(spark):
     """dense_seq == global row_number regardless of partitioning."""
     df = spark.range(5_000).select(
