@@ -68,6 +68,17 @@ class CrawlConfig:
     # layout so each executor loads only its buckets' shards; locally the
     # same addressing runs with all shards resident.
     bloom_shards: int = 8
+    # Local-variant politeness (CrawlerBolt.java:442-444 intent): hosts
+    # whose effective robots block is agent-specific but has no explicit
+    # Crawl-delay default to 1 fetch per virtual second = per-round cap 1
+    # (politeness.select_per_host docstring has the mapping argument).
+    # Off = the distributed/no-default semantics
+    # (DistributedCrawlerBolt.java:441-446).
+    default_delay_1: bool = False
+    # Literal priority host classes (host, priority) — URLFrontier.java:32-39
+    # hard-codes P1/P2 sets; politeness.REFERENCE_PRIORITY_HOSTS replays them
+    # exactly. Min-merged with the seeds-derived classes at init.
+    priority_hosts: tuple = ()
     filters: FilterConfig = field(default_factory=FilterConfig)
     agent: str = robots.USER_AGENT
 
@@ -205,7 +216,9 @@ class CrawlEngine:
             self._mt = self._mt.repartition(n_shuffle, "url_norm").cache()
         rb = robots_df if robots_df is not None else _empty(spark, S.ROBOTS)
         # effective robots block per host — tiny, computed once, broadcast.
-        self.host_rules = robots.effective_rules(rb, cfg.agent).cache()
+        self.host_rules = robots.effective_rules(
+            rb, cfg.agent, with_agent_flag=True
+        ).cache()
         self.host_rules.count()
         self._bloom: seenmod.BloomState | None = None
 
@@ -284,6 +297,13 @@ class CrawlEngine:
         host_priority = s.groupBy("host").agg(
             F.min("priority").alias("priority")
         )
+        if self.cfg.priority_hosts:
+            lit = self.spark.createDataFrame(
+                list(self.cfg.priority_hosts), "host string, priority int"
+            )
+            host_priority = host_priority.unionByName(lit).groupBy(
+                "host"
+            ).agg(F.min("priority").alias("priority"))
         return frontier, seen, host_priority
 
     def init_frontier(self, seeds: DataFrame) -> None:
@@ -434,10 +454,19 @@ class CrawlEngine:
         # instead of re-analyzing the whole politeness/join DAG — Catalyst
         # analysis+codegen over deep lineage was the dominant per-round
         # fixed cost (measured ~5s/round before truncation).
+        dd_hosts = None
+        if cfg.default_delay_1:
+            # local-variant 1s default -> per-round cap 1 for hosts with an
+            # agent-specific block and no explicit delay (select_per_host
+            # docstring has the full mapping argument)
+            dd_hosts = self.host_rules.filter(
+                F.col("agent_specific") & F.col("crawl_delay").isNull()
+            ).select("host")
         selected = politeness.select_per_host(
             eligible, host_priority,
             frontier_size=int(prev_meta.get("n_frontier", 0)) or None,
             hint_broadcast=cfg.broadcast_host_state,
+            default_delay_hosts=dd_hosts,
         ).localCheckpoint(eager=False)
 
         # 3. robots disallow (broadcast join + JVM exists())
@@ -446,7 +475,7 @@ class CrawlEngine:
             hint_broadcast=cfg.broadcast_host_state,
         )
         sel = sel.withColumn("_denied", robots.denied_predicate()).drop(
-            "disallow_prefixes", "crawl_delay"
+            "disallow_prefixes", "crawl_delay", "agent_specific"
         )
 
         # 4. "fetch": join the synthetic web (pages + protocol sidecar).

@@ -30,6 +30,20 @@ class FilterConfig:
     lang_gated_substrings: tuple[str, ...] = ("wikipedia.org",)
     lang_prefix: str = "en"
 
+    @classmethod
+    def distributed(cls, banned_hosts: tuple[str, ...] = DEFAULT_BANNED_HOSTS
+                    ) -> "FilterConfig":
+        """The DISTRIBUTED variant's presets: MAX_URL_LENGTH = 100
+        (DistributedURLFilterBolt.java:45) and the wider lang gate — hosts
+        containing 'wiki' OR 'wiktionary' OR 'stackoverflow' must start
+        with the crawl language (DistributedURLFilterBolt.java:95).
+        Depth cap is 5 in both variants."""
+        return cls(
+            max_url_length=100,
+            banned_hosts=banned_hosts,
+            lang_gated_substrings=("wiki", "wiktionary", "stackoverflow"),
+        )
+
 
 def admission_predicate(cfg: FilterConfig = FilterConfig()) -> Column:
     """Boolean Column over (url_norm, host, path_depth): True = admit.

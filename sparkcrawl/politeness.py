@@ -32,6 +32,15 @@ CAPS = {1: 15, 2: 10, 3: 5}  # URLFrontier.java:20-22
 DEFAULT_PRIORITY = 3
 SALT_BUCKETS = 64
 
+# The reference's hard-coded priority host sets (URLFrontier.java:32-39) as
+# (host, priority) pairs — pass to CrawlConfig.priority_hosts to replay the
+# reference's exact classes alongside (min-merged with) the seeds-derived ones.
+REFERENCE_PRIORITY_HOSTS = (
+    ("en.wikipedia.org", 1), ("upenn.edu", 1), ("cnn.com", 1),
+    ("stackoverflow.com", 2), ("reddit.com", 2), ("bbc.com", 2),
+    ("wsj.com", 2),
+)
+
 
 def cap_col(priority_col) -> F.Column:
     return (
@@ -82,7 +91,9 @@ def eligible_hosts_filter(
 def select_per_host(frontier: DataFrame, host_priority: DataFrame,
                     frontier_size: int | None = None,
                     twophase_threshold: int = 2_000_000,
-                    hint_broadcast: bool = True) -> DataFrame:
+                    hint_broadcast: bool = True,
+                    default_delay_hosts: DataFrame | None = None
+                    ) -> DataFrame:
     """Pick the first cap(host) rows by seq per host.
 
     Input must already be delay-filtered. The salted phase-1 window is a
@@ -90,11 +101,27 @@ def select_per_host(frontier: DataFrame, host_priority: DataFrame,
     from O(backlog) to O(SALT·cap)); it is skipped when the frontier is
     known to be small — the phase-2 window alone defines the semantics, so
     results are identical either way (tested).
+
+    default_delay_hosts (a ``host`` column): hosts whose effective robots
+    block is agent-specific but carries NO explicit Crawl-delay — the
+    LOCAL variant defaults these to 1 second between fetches
+    (CrawlerBolt.java:442-444 intent; see robots.delay_py for why the
+    reference's own default is dead code). Under the 1-round = 1-virtual-
+    second mapping, "1 fetch per second" is EXACTLY a per-round cap of 1
+    (the host stays eligible every round) — so the flag clamps cap to 1
+    for those hosts instead of touching the round-deferral gate, where a
+    1-round delay would be vacuous.
     """
     prio = F.broadcast(host_priority) if hint_broadcast else host_priority
     f = frontier.join(prio, "host", "left").withColumn(
         "cap", cap_col(F.coalesce(F.col("priority"), F.lit(DEFAULT_PRIORITY)))
     )
+    if default_delay_hosts is not None:
+        dd = default_delay_hosts.withColumn("_dd", F.lit(True))
+        dd = F.broadcast(dd) if hint_broadcast else dd
+        f = f.join(dd, "host", "left").withColumn(
+            "cap", F.when(F.col("_dd"), F.lit(1)).otherwise(F.col("cap"))
+        ).drop("_dd")
     if frontier_size is None or frontier_size > twophase_threshold:
         salt = F.pmod(F.xxhash64("url_norm"), F.lit(SALT_BUCKETS))
         w1 = W.partitionBy("host", salt).orderBy("seq")

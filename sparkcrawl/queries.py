@@ -1233,6 +1233,75 @@ LIMIT 20
 """
 
 
+def q_url_admission_distributed(spark, sf_dir):
+    """D1-D3 with the DISTRIBUTED variant's presets
+    (FilterConfig.distributed): URL length cap 100
+    (DistributedURLFilterBolt.java:45) and the wiki/wiktionary/
+    stackoverflow lang gate (DistributedURLFilterBolt.java:95). The
+    synthetic url mix hits every arm: wiki hosts in both languages, a
+    gated stackoverflow host, >100-char padded urls, deep paths, and a
+    banned host."""
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.lit("de.wiki"), F.col("source"), F.lit(".org")))
+        .when(F.col("doc_id") % 13 == 1,
+              F.concat(F.lit("en.wiki"), F.col("source"), F.lit(".org")))
+        .when(F.col("doc_id") % 13 == 2,
+              F.concat(F.lit("de.wiktionary"), F.col("source"),
+                       F.lit(".org")))
+        .when(F.col("doc_id") % 13 == 3,
+              F.concat(F.lit("stackoverflow."), F.col("source"),
+                       F.lit(".com")))
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    )
+    seg = F.when(
+        F.col("doc_id") % 19 == 0, F.lit("/a/b/c/d/e/f")
+    ).otherwise(F.lit(""))
+    pad = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(F.lit("?pad="), F.repeat(F.lit("x"), 120)),
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        seg, F.lit("/d"), F.col("doc_id").cast("string"), F.lit(".html")
+    )
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), host, F.lit(":80"), path, pad
+        ).alias("url_norm"),
+        host.alias("host"),
+        F.size(F.split(path, "/")).alias("path_depth"),
+    )
+    cfg = FilterConfig.distributed(banned_hosts=("src1.example.com",))
+    return u.filter(admission_predicate(cfg)).select("doc_id", "url_norm")
+
+
+Q_URL_ADMISSION_DISTRIBUTED_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN 'de.wiki' || source || '.org'
+              WHEN doc_id % 13 = 1 THEN 'en.wiki' || source || '.org'
+              WHEN doc_id % 13 = 2 THEN 'de.wiktionary' || source || '.org'
+              WHEN doc_id % 13 = 3 THEN 'stackoverflow.' || source || '.com'
+              ELSE source || '.example.com' END AS host,
+         (CASE WHEN doc_id % 19 = 0 THEN '/a/b/c/d/e/f' ELSE '' END)
+           || '/d' || CAST(doc_id AS VARCHAR) || '.html' AS path,
+         CASE WHEN doc_id % 17 = 0 THEN '?pad=' || repeat('x', 120)
+              ELSE '' END AS pad
+  FROM documents
+)
+SELECT doc_id, 'http://' || host || ':80' || path || pad AS url_norm
+FROM u
+WHERE length('http://' || host || ':80' || path || pad) <= 100
+  AND len(string_split(path, '/')) <= 5
+  AND host <> 'src1.example.com'
+  AND NOT (host LIKE '%wiki%' AND host NOT LIKE 'en%')
+  AND NOT (host LIKE '%wiktionary%' AND host NOT LIKE 'en%')
+  AND NOT (host LIKE '%stackoverflow%' AND host NOT LIKE 'en%')
+"""
+
+
 def q_recrawl_304(spark, sf_dir):
     """F1 304/If-Modified-Since branch (CrawlerBolt.java:460-485): classify
     each page of the current pass against the previous pass's doc cache —
@@ -1294,6 +1363,9 @@ QUERIES = {
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
     "url_admission": (q_url_admission, Q_URL_ADMISSION_SQL),
+    "url_admission_distributed": (
+        q_url_admission_distributed, Q_URL_ADMISSION_DISTRIBUTED_SQL
+    ),
     "seen_anti_join": (q_seen_anti_join, Q_SEEN_ANTI_JOIN_SQL),
     "canonicalize_ports": (q_canonicalize_ports, Q_CANONICALIZE_PORTS_SQL),
     "robots_effective": (q_robots_effective, Q_ROBOTS_EFFECTIVE_SQL),

@@ -26,23 +26,34 @@ from pyspark.sql.functions import pandas_udf
 USER_AGENT = "cis455crawler"  # the reference's UA (CrawlerBolt.java:75)
 
 
-def effective_rules(robots: DataFrame, agent: str = USER_AGENT) -> DataFrame:
+def effective_rules(robots: DataFrame, agent: str = USER_AGENT,
+                    with_agent_flag: bool = False) -> DataFrame:
     """(host, agent, rule, path_prefix, crawl_delay) -> per-host effective
-    block: (host, disallow_prefixes, crawl_delay)."""
+    block: (host, disallow_prefixes, crawl_delay).
+
+    with_agent_flag adds ``agent_specific`` (did the effective block come
+    from OUR agent rather than '*'?) — the input to the local variant's
+    default-1s crawl-delay gate (politeness.eligible_hosts_filter)."""
     ours = robots.filter(F.col("agent") == agent)
     star = robots.filter(F.col("agent") == "*")
     hosts_with_ours = ours.select("host").distinct()
     effective = ours.unionByName(
         star.join(hosts_with_ours, "host", "left_anti")
     )
-    return effective.groupBy("host").agg(
+    aggs = [
         F.sort_array(
             F.collect_list(
                 F.when(F.col("rule") == "disallow", F.col("path_prefix"))
             )
         ).alias("disallow_prefixes"),
         F.max("crawl_delay").alias("crawl_delay"),
-    )
+    ]
+    if with_agent_flag:
+        aggs.append(
+            F.max((F.col("agent") == agent).cast("int"))
+            .cast("boolean").alias("agent_specific")
+        )
+    return effective.groupBy("host").agg(*aggs)
 
 
 def join_rules(frontier: DataFrame, host_rules: DataFrame,
@@ -175,11 +186,12 @@ def parse_robots_corpus(robots_texts: DataFrame,
 
 
 def effective_rules_py(rows: list[dict], agent: str = USER_AGENT) -> dict:
-    """rows of the robots table -> {host: (sorted disallow prefixes, delay)}."""
+    """rows of the robots table ->
+    {host: (sorted disallow prefixes, delay, agent_specific)}."""
     by_host: dict[str, dict[str, list[dict]]] = {}
     for r in rows:
         by_host.setdefault(r["host"], {}).setdefault(r["agent"], []).append(r)
-    out: dict[str, tuple[list[str], int | None]] = {}
+    out: dict[str, tuple[list[str], int | None, bool]] = {}
     for host, blocks in by_host.items():
         block = blocks.get(agent) or blocks.get("*") or []
         prefixes = sorted(
@@ -188,14 +200,34 @@ def effective_rules_py(rows: list[dict], agent: str = USER_AGENT) -> dict:
             if r["rule"] == "disallow" and r["path_prefix"] is not None
         )
         delays = [r["crawl_delay"] for r in block if r["crawl_delay"] is not None]
-        out[host] = (prefixes, max(delays) if delays else None)
+        out[host] = (prefixes, max(delays) if delays else None, agent in blocks)
     return out
 
 
 def denied_py(rules: dict, host: str, path: str) -> bool:
-    prefixes, _ = rules.get(host, ([], None))
+    prefixes = rules.get(host, ([], None, False))[0]
     return any(path.startswith(p) for p in prefixes)
 
 
 def delay_py(rules: dict, host: str) -> int | None:
-    return rules.get(host, ([], None))[1]
+    """Explicit effective crawl delay (None if the block has none).
+
+    The LOCAL variant's 1s default (CrawlerBolt.java:442-444) is NOT a
+    deferral: under the 1-round = 1-virtual-second mapping a 1-round
+    delay never defers (a host fetched in round r is always eligible at
+    r+1), so the default maps to a per-round cap of 1 instead —
+    politeness.select_per_host(default_delay_hosts=...). Note the
+    reference's own default is dead code: the gate at
+    CrawlerBolt.java:439 tests crawlDelays membership, not block
+    existence, so delay is never -1 inside it (and the distributed
+    variant comments the default out, DistributedCrawlerBolt.java:
+    441-446); we model the comment's stated intent behind
+    CrawlConfig.default_delay_1, off by default."""
+    return rules.get(host, ([], None, False))[1]
+
+
+def default_delay_host_py(rules: dict, host: str) -> bool:
+    """Is this host in the local variant's default-1s set (agent-specific
+    block, no explicit Crawl-delay)?"""
+    prefixes, delay, agent_specific = rules.get(host, ([], None, False))
+    return agent_specific and delay is None

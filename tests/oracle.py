@@ -25,6 +25,7 @@ from sparkcrawl.filters import FilterConfig, admit
 from sparkcrawl.htmlspec import extract
 from sparkcrawl.politeness import CAPS, DEFAULT_PRIORITY
 from sparkcrawl.robots import (
+    default_delay_host_py,
     delay_py,
     denied_py,
     effective_rules_py,
@@ -50,6 +51,8 @@ def run_oracle(
     max_doc_size: int = 5_000_000,
     fcfg: FilterConfig | None = None,
     doc_cache: dict | None = None,
+    default_delay_1: bool = False,
+    priority_hosts: dict | None = None,
 ) -> OracleResult:
     """doc_cache: {url_norm: cached_ts} from a previous pass — enables the
     304/If-Modified-Since branch (CrawlerBolt.java:460-485): a cached url
@@ -59,7 +62,9 @@ def run_oracle(
     pages = {r["url"]: r for r in fixtures["pages"]}
     meta = {r["url"]: r for r in fixtures["page_meta"]}
     rules = effective_rules_py(fixtures["robots"])
-    priorities: dict[str, int] = {}
+    # literal priority classes (URLFrontier.java:32-39) min-merge with the
+    # seeds-derived ones below
+    priorities: dict[str, int] = dict(priority_hosts or {})
 
     res = OracleResult()
     frontier: list[dict] = []  # rows: url_norm host path depth seq
@@ -104,6 +109,8 @@ def run_oracle(
             if d is not None and host in clock and r - clock[host] < d:
                 continue
             cap = CAPS.get(priorities.get(host, DEFAULT_PRIORITY), CAPS[3])
+            if default_delay_1 and default_delay_host_py(rules, host):
+                cap = 1  # local 1s default == 1 fetch per virtual second
             if taken.get(host, 0) >= cap:
                 continue
             taken[host] = taken.get(host, 0) + 1

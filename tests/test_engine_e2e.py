@@ -192,6 +192,107 @@ def test_crash_mid_round_atomicity(spark, fixtures, fixture_paths, tmp_path,
     assert crawled == oracle_result.crawled
 
 
+def test_default_delay_1_matches_oracle(spark, fixtures, fixture_paths,
+                                        tmp_path, oracle_result):
+    """Local-variant 1s default delay (CrawlerBolt.java:442-444 intent):
+    hosts with an agent-specific robots block and NO explicit Crawl-delay
+    serve 1 URL per round. Engine == oracle under the flag, and the flag
+    visibly changes the schedule vs the default run."""
+    pages, meta, robots_df, seeds = load_inputs(spark, fixture_paths)
+    cfg = CrawlConfig(
+        default_delay_1=True,
+        filters=FilterConfig(banned_hosts=fixtures["banned_hosts"]),
+    )
+    store = SnapshotStore(str(tmp_path / "dd1"))
+    CrawlEngine(spark, store, pages, meta, robots_df, cfg).run(seeds)
+    want = run_oracle(fixtures, default_delay_1=True)
+    trace, seen, crawled = _collect(spark, store)
+    assert trace == want.trace
+    assert seen == want.seen
+    assert crawled == want.crawled
+
+    # focused micro-web where the clamp visibly reshapes the schedule: one
+    # host with an agent-specific block (no delay) whose root links to 4
+    # pages — default crawl does them in one round (cap 5), the local
+    # variant spreads them 1/round
+    import datetime as dt
+
+    from gen_fixtures import write_parquet
+    from sparkcrawl.htmlspec import extract as hs_extract
+
+    epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def page(url, links):
+        html = (
+            '<html lang="en"><body><p>body of ' + url + "</p>"
+            + "".join(f'<a href="{x}">x</a>' for x in links)
+            + "</body></html>"
+        )
+        ex = hs_extract(html)
+        return dict(url=url, warc_ts=epoch, html=html.encode("utf-8"),
+                    text=ex["text"], lang="en")
+
+    mini = dict(
+        pages=[page("http://a.com:80/",
+                    [f"/p{i}.html" for i in range(4)])]
+        + [page(f"http://a.com:80/p{i}.html", []) for i in range(4)],
+        page_meta=[],
+        robots=[dict(host="a.com", agent="cis455crawler", rule="disallow",
+                     path_prefix="/private", crawl_delay=None)],
+        seeds=[dict(url="http://a.com:80/", priority=3)],
+        banned_hosts=("xxx.com",),
+    )
+    mpaths = write_parquet(mini, str(tmp_path / "miniweb"))
+    mp, mm, mr, ms = load_inputs(spark, mpaths)
+    for flag in (False, True):
+        mcfg = CrawlConfig(default_delay_1=flag)
+        mstore = SnapshotStore(str(tmp_path / f"mini{flag}"))
+        CrawlEngine(spark, mstore, mp, mm, mr, mcfg).run(ms)
+        mo = run_oracle(mini, default_delay_1=flag)
+        mtrace, mseen, mcrawled = _collect(spark, mstore)
+        assert mtrace == mo.trace
+        assert mcrawled == mo.crawled
+        rounds = max(t[0] for t in mtrace)
+        if flag:
+            assert rounds == 5  # root, then p0..p3 one per round
+        else:
+            assert rounds == 2  # root, then all four under cap 5
+
+
+def test_literal_priority_hosts_match_oracle(spark, fixtures, fixture_paths,
+                                             tmp_path):
+    """Literal priority host classes (URLFrontier.java:32-39): explicit
+    (host, priority) pairs min-merge with the seeds-derived classes. To
+    make the literal set the deciding source (it can only RAISE a class),
+    seed priorities are flattened to 3 and mega.example.com — whose
+    backlog far exceeds the default cap — is promoted literally."""
+    import pyspark.sql.functions as _F
+
+    pages, meta, robots_df, seeds = load_inputs(spark, fixture_paths)
+    seeds3 = seeds.withColumn("priority", _F.lit(3))
+    fx3 = dict(fixtures)
+    fx3["seeds"] = [
+        dict(url=s["url"], priority=3) for s in fixtures["seeds"]
+    ]
+    lit = {"mega.example.com": 1}
+    cfg = CrawlConfig(
+        priority_hosts=tuple(lit.items()),
+        filters=FilterConfig(banned_hosts=fixtures["banned_hosts"]),
+    )
+    store = SnapshotStore(str(tmp_path / "php"))
+    CrawlEngine(spark, store, pages, meta, robots_df, cfg).run(seeds3)
+    want = run_oracle(fx3, priority_hosts=lit)
+    trace, seen, crawled = _collect(spark, store)
+    assert trace == want.trace
+    assert seen == want.seen
+    assert crawled == want.crawled
+    # without the literal promotion mega runs at cap 5, so the schedule
+    # (oracle-computed, no second engine run needed) must differ
+    base = run_oracle(fx3)
+    assert trace != base.trace
+    assert seen == base.seen  # same reachable set, different order
+
+
 def test_recrawl_304_matches_oracle(spark, fixtures, fixture_paths,
                                     tmp_path):
     """Incremental re-crawl (304/If-Modified-Since, CrawlerBolt.java:

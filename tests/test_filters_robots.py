@@ -50,13 +50,15 @@ def test_robots_parity(spark, fixtures, fixture_paths):
     _, _, robots_df, _ = load_inputs(spark, fixture_paths)
     rules_py = effective_rules_py(fixtures["robots"])
     rules_spark = {
-        r["host"]: (list(r["disallow_prefixes"]), r["crawl_delay"])
-        for r in effective_rules(robots_df).collect()
+        r["host"]: (list(r["disallow_prefixes"]), r["crawl_delay"],
+                    r["agent_specific"])
+        for r in effective_rules(robots_df, with_agent_flag=True).collect()
     }
     assert set(rules_spark) == set(rules_py)
     for h in rules_py:
         assert rules_spark[h][0] == rules_py[h][0], h
         assert rules_spark[h][1] == rules_py[h][1], h
+        assert rules_spark[h][2] == rules_py[h][2], h  # agent_specific
 
     # denied predicate parity over fixture urls
     urls = [r["url"] for r in fixtures["pages"][:500]]
@@ -70,3 +72,37 @@ def test_robots_parity(spark, fixtures, fixture_paths):
     }
     for u in urls:
         assert got[u] == denied_py(rules_py, host_of(u), path_of(u)), u
+
+
+def test_distributed_filter_preset():
+    """FilterConfig.distributed replays DistributedURLFilterBolt.java:45,95
+    exactly: URL cap 100, wiki/wiktionary/stackoverflow lang gates."""
+    from sparkcrawl.filters import FilterConfig, admit
+
+    cfg = FilterConfig.distributed()
+    assert cfg.max_url_length == 100
+    assert cfg.lang_gated_substrings == (
+        "wiki", "wiktionary", "stackoverflow"
+    )
+    assert not admit("http://h:80/" + "x" * 100, "h", 1, cfg)  # len > 100
+    assert admit("http://en.wikipedia.org:80/", "en.wikipedia.org", 1, cfg)
+    assert not admit("http://de.wikipedia.org:80/", "de.wikipedia.org", 1,
+                     cfg)
+    assert not admit("http://de.wiktionary.org:80/", "de.wiktionary.org", 1,
+                     cfg)
+    assert not admit("http://stackoverflow.com:80/", "stackoverflow.com", 1,
+                     cfg)  # gate requires the 'en' prefix, as in the bolt
+    assert admit("http://h.example.com:80/", "h.example.com", 1, cfg)
+
+
+def test_reference_priority_hosts_constant():
+    """politeness.REFERENCE_PRIORITY_HOSTS == URLFrontier.java:32-39."""
+    from sparkcrawl.politeness import REFERENCE_PRIORITY_HOSTS
+
+    d = dict(REFERENCE_PRIORITY_HOSTS)
+    assert {h for h, p in d.items() if p == 1} == {
+        "en.wikipedia.org", "upenn.edu", "cnn.com"
+    }
+    assert {h for h, p in d.items() if p == 2} == {
+        "stackoverflow.com", "reddit.com", "bbc.com", "wsj.com"
+    }
