@@ -185,7 +185,12 @@ def ivf_topk(df: DataFrame, qvec: list[float], k: int = 10, nprobe: int = 4,
     )
     centroids = _quantized_centroids(d, "bucket")
     q = F.array(*[F.lit(float(x)) for x in qvec])
-    ccos = _dot(F.col("centroid"), q) / (_norm(F.col("centroid")) * _norm(q))
+    # probe ranking is rounded to 6 dp before the top-nprobe cut: near-tied
+    # cells must not flip the probe set on last-ulp float differences
+    # between engines (the bucket tiebreak then decides deterministically)
+    ccos = F.round(
+        _dot(F.col("centroid"), q) / (_norm(F.col("centroid")) * _norm(q)), 6
+    )
     probed = (
         centroids.withColumn("_ccos", ccos)
         .orderBy(F.desc("_ccos"), F.asc("bucket"))

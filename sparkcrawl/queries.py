@@ -1217,9 +1217,9 @@ cvec AS (
 probed AS (
   SELECT bucket
   FROM cvec, q
-  ORDER BY list_dot_product(centroid, q.qv) /
+  ORDER BY round(list_dot_product(centroid, q.qv) /
              (sqrt(list_dot_product(centroid, centroid)) *
-              sqrt(list_dot_product(q.qv, q.qv))) DESC,
+              sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
            bucket ASC
   LIMIT 16
 )

@@ -89,12 +89,20 @@ def stateful_sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     micro-batch; across batches the file source must deliver a key's rows in
     non-decreasing event-time order (true for the SnapshotStore/Iceberg
     append pattern where each round's files are strictly later than the
-    last). Arrow-batched per group — no per-row Python on the hot path."""
+    last). The contract is GUARDED: a row older than the state's
+    last_epoch raises instead of silently mis-splitting sessions (use a
+    watermarked window variant if the source can reorder). Arrow-batched
+    per group — no per-row Python on the hot path."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdfs, state: GroupState):
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        frames = list(pdfs)
+        rows = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=["ts", "event_id"])
+        )  # timeout modes can invoke with zero batches; concat([]) raises
         if len(rows):
             rows = rows.sort_values(["ts", "event_id"])
         if state.exists:
@@ -104,6 +112,12 @@ def stateful_sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         touched: dict[int, tuple[int, int]] = {}
         for ts, eid in zip(rows["ts"], rows["event_id"]):
             epoch = int(ts.timestamp())
+            if last_epoch is not None and epoch < last_epoch:
+                raise ValueError(
+                    f"stateful_sessionize ordering contract violated for "
+                    f"user {key[0]}: event {eid} at epoch {epoch} arrived "
+                    f"after state had advanced to {last_epoch}"
+                )
             if last_epoch is not None and epoch - last_epoch > gap_s:
                 sidx += 1
                 n = 0
