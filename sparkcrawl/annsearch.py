@@ -207,6 +207,107 @@ def ivf_topk(df: DataFrame, qvec: list[float], k: int = 10, nprobe: int = 4,
     )
 
 
+def _cell_cosines(cents: list[list[float]]):
+    """Column: array of 6-dp-rounded cosines of `_e` vs each centroid.
+    Zero-norm guards: a degenerate vector/centroid scores -2 (below any
+    real cosine) instead of poisoning the argmax with nulls."""
+    cols = []
+    for c in cents:
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        cos = _dot(F.col("_e"), cv) / (_norm(F.col("_e")) * _norm(cv))
+        cols.append(F.coalesce(F.round(cos, 6), F.lit(-2.0)))
+    return F.array(*cols)
+
+
+def assign_cells(d: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """`cell` = argmax cosine over the centroid list (6-dp-rounded, ties ->
+    smallest cell id via array_position's first match) — deterministic for
+    any partitioning. ``d`` must carry `_e` (array<double>)."""
+    arr = _cell_cosines(cents)
+    return d.withColumn(
+        "cell",
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int"),
+    )
+
+
+def kmeans_cells(df: DataFrame, k_cells: int = 32, iters: int = 4,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 quant: int = 1_000_000) -> list[list[float]]:
+    """Deterministic distributed k-means for IVF coarse cells.
+
+    Every step is order/partitioning-free: init = the vectors with the
+    k_cells smallest ids (fixed, seed-independent); assignment = rounded-
+    cosine argmax with smallest-cell tie-break (assign_cells); update =
+    integer-quantized exact means (_quantized_centroids — the same
+    determinism trick as label_centroid_cosine); empty cells keep their
+    previous centroid. Fixed ``iters`` sweeps, no convergence check — so
+    two runs (or two cluster sizes) produce bit-identical centroids.
+
+    Each sweep is one assignment job + one centroid aggregation; only the
+    k_cells x dim centroid table ever reaches the driver, so the loop is
+    a constant number of full scans at any data scale (cache ``df``
+    upstream when iterating over 100 TB)."""
+    d = df.select(
+        id_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    init = d.orderBy(id_col).limit(k_cells).collect()
+    cents = [list(r["_e"]) for r in init]
+    for _ in range(iters):
+        assigned = assign_cells(d, cents)
+        got = {
+            r["cell"]: list(r["centroid"])
+            for r in _quantized_centroids(
+                assigned, "cell", quant=quant
+            ).collect()
+        }
+        cents = [got.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def ivf_topk_kmeans(df: DataFrame, qvec: list[float], k: int = 10,
+                    nprobe: int = 4, k_cells: int = 32, iters: int = 4,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN over TRAINED cells (kmeans_cells) instead of sign buckets:
+    same probe shape as ivf_topk — rank cells by 6-dp-rounded centroid
+    cosine, search the top-nprobe cells exactly. Trained centroids adapt
+    to the data distribution, so recall per probed row beats the
+    data-oblivious sign buckets (measured in tests/test_textops_ann.py).
+
+    At scale: training is kmeans_cells' fixed number of scans; the final
+    assignment becomes the partition column of the IVF layout, so the
+    query-time scan reads only the probed cells."""
+    cents = kmeans_cells(df, k_cells, iters, vec_col, id_col)
+    d = df.withColumn(
+        "_e", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+    d = assign_cells(d, cents)
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    ccos = F.round(
+        _dot(F.col("centroid"), q) / (_norm(F.col("centroid")) * _norm(q)), 6
+    )
+    probed = (
+        centroids.withColumn("_ccos", F.coalesce(ccos, F.lit(-2.0)))
+        .orderBy(F.desc("_ccos"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = d.join(F.broadcast(probed), "cell")
+    cos = _dot(F.col("_e"), q) / (_norm(F.col("_e")) * _norm(q))
+    return (
+        cand.withColumn("cosine", F.round(cos, 4))
+        .select(id_col, F.col("cell").cast("long").alias("cell"), "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def label_centroid_cosine(df: DataFrame,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id",

@@ -1233,6 +1233,25 @@ LIMIT 20
 """
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN over TRAINED coarse cells (annsearch.kmeans_cells:
+    deterministic k-means — smallest-id init, rounded-cosine argmax
+    assignment, integer-quantized order-free means, fixed 4 sweeps):
+    probe the 8 closest of 32 trained cells, exact top-20 within them.
+    No SQL oracle: the iterative training loop is not expressible as a
+    single DuckDB query; the driver records the rows-only check, and the
+    recall-vs-brute-force + determinism guarantees are unit-tested
+    (tests/test_textops_ann.py::test_ivf_kmeans_beats_sign_buckets)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return annsearch.ivf_topk_kmeans(
+        e, qvec, k=20, nprobe=8, k_cells=32, iters=4
+    )
+
+
 def q_url_admission_distributed(spark, sf_dir):
     """D1-D3 with the DISTRIBUTED variant's presets
     (FilterConfig.distributed): URL length cap 100
@@ -1387,6 +1406,10 @@ QUERIES = {
     "ann_cosine": (q_ann_cosine, Q_ANN_COSINE_SQL),
     "ann_buckets": (q_ann_buckets, Q_ANN_BUCKETS_SQL),
     "ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
+    # no SQL oracle: iterative k-means training is not a single DuckDB
+    # query; driver records rows-only, guarantees unit-tested (recall +
+    # bit-determinism, test_ivf_kmeans_beats_sign_buckets)
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),
     "embedding_near_dup": (q_embedding_near_dup, Q_EMBEDDING_NEAR_DUP_SQL),
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "quality": (q_quality, Q_QUALITY_SQL),

@@ -193,6 +193,54 @@ def test_ann_ivf_and_near_dup(spark):
     assert pairs <= truth
 
 
+def test_ivf_kmeans_beats_sign_buckets(spark):
+    """Trained-centroid IVF (kmeans_cells): on clustered data, probing ONE
+    trained cell recalls the brute-force top-k better than the
+    data-oblivious sign buckets probing four cells; training is
+    bit-deterministic (fixed init/iters, quantized means)."""
+    import random
+
+    rng = random.Random(5)
+    # cluster structure lives in dims 8..15; dims 0..7 (the sign-LSH dims)
+    # hover near zero, so jitter scatters each cluster across many sign
+    # buckets — the regime where data-oblivious cells lose to trained ones
+    centers = [
+        [rng.uniform(-0.05, 0.05) for _ in range(8)]
+        + [rng.uniform(-1, 1) for _ in range(8)]
+        for _ in range(8)
+    ]
+    rows = [
+        (vid, [x + rng.uniform(-0.15, 0.15) for x in centers[vid % 8]], "l")
+        for vid in range(400)
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    q = rows[3][1]
+    exact = {
+        r["vec_id"] for r in annsearch.brute_force_topk(e, q, 20).collect()
+    }
+
+    km = annsearch.ivf_topk_kmeans(
+        e, q, k=20, nprobe=1, k_cells=8, iters=4
+    ).collect()
+    r_km = len({r["vec_id"] for r in km} & exact) / len(exact)
+
+    sg = annsearch.ivf_topk(e, q, k=20, nprobe=4).collect()
+    r_sg = len({r["vec_id"] for r in sg} & exact) / len(exact)
+
+    # trained cells recover the query's cluster with ONE probe...
+    assert r_km >= 0.9
+    assert km[0]["vec_id"] == 3 and km[0]["cosine"] == 1.0
+    # ...and beat the sign-bucket baseline even when it probes 4 cells
+    assert r_km > r_sg
+
+    # determinism: identical centroids on a re-train over a reshuffled frame
+    c1 = annsearch.kmeans_cells(e, k_cells=8, iters=4)
+    c2 = annsearch.kmeans_cells(e.repartition(7), k_cells=8, iters=4)
+    assert c1 == c2
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, 30)
     feats = multimodal.decode_features(media).collect()
