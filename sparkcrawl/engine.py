@@ -129,11 +129,14 @@ def dense_seq(
     ``size_bound`` — an upper bound on len(df) if the caller knows one.
     Small batches collapse to ONE range partition: RangePartitioner skips
     its sampling pass for a single partition, saving a job; the result is
-    identical (the prefix sum is trivially 0).
+    identical (the prefix sum is trivially 0). The threshold is a few
+    task-sized batches, NOT "fits in memory": a 100k-row collapse would
+    make the rank a serial one-task sort — measurable Amdahl loss on the
+    4N leg of the scaling bench at wide-web round sizes.
     """
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if size_bound is not None and size_bound <= 100_000:
+    if size_bound is not None and size_bound <= 16_384:
         n = 1
     d = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
         "_pid", F.spark_partition_id()

@@ -54,6 +54,12 @@ SIZES = {
     # profile that exhibits the loop's compute-bound scaling regime
     "wide": dict(n_hosts=150_000, mean_pages=8, mega_pages=30_000,
                  seed_hosts=150_000, n_para=(6, 12), para_words=(40, 80)),
+    # xwide: deep per-host page trees (mean 30) keep every host alive for
+    # several rounds at its cap -> SUSTAINED ~10^6-URL steady rounds
+    # (~2.3M pages, ~4.5 GB parquet) — the design-scale round-size regime
+    # for the north-rule loop-efficiency profile
+    "xwide": dict(n_hosts=200_000, mean_pages=30, mega_pages=30_000,
+                  seed_hosts=200_000, n_para=(6, 12), para_words=(40, 80)),
 }
 
 WORDS = (
