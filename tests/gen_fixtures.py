@@ -137,10 +137,15 @@ def generate(size: str = "tiny", seed: int = 42) -> dict:
         for u in pool[:n_sp]:
             specials[u] = kind
         pool = pool[n_sp:]
+    # index-walk instead of re-slicing pool each iteration (the slice form
+    # is O(groups x pool) — hours at xwide scale); output is byte-identical
     dup_groups = []
-    while len(pool) >= 3 and len(dup_groups) < max(2, len(all_urls) // 40):
-        dup_groups.append(pool[:3])
-        pool = pool[3:]
+    cap_groups = max(2, len(all_urls) // 40)
+    i = 0
+    while len(pool) - i >= 3 and len(dup_groups) < cap_groups:
+        dup_groups.append(pool[i:i + 3])
+        i += 3
+    pool = pool[i:]
     non_en = set(pool[: max(2, len(pool) // 10)])
 
     dup_body_of = {}
