@@ -69,10 +69,14 @@ print("RESULT " + json.dumps({{
 
 def run_at(cores: int, web: str) -> dict:
     env = dict(os.environ)
-    # no 16g heap override — see bench/scaling.py note (ContextCleaner stall)
+    # constant memory per core, as cluster scale-out would provide — see
+    # bench/scaling.py note (fixed heap starves the high-parallelism leg)
+    env.setdefault("SPARKCRAWL_DRIVER_MEM", f"{4 * cores}g")
     out = subprocess.run(
         [sys.executable, "-c", WORKER.format(repo=REPO), str(cores), web],
-        capture_output=True, text=True, timeout=1800, env=env,
+        capture_output=True, text=True,
+        timeout=int(os.environ.get("SPARKCRAWL_SCALE_TIMEOUT", "1800")),
+        env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

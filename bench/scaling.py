@@ -66,18 +66,33 @@ print("RESULT " + json.dumps({{
 def run_at(cores: int, size: str, rounds: int, web: str) -> dict:
     code = WORKER.format(repo=REPO)
     env = dict(os.environ)
-    # NOTE: deliberately no 16g driver-heap override — outsized heaps GC so
-    # rarely that the ContextCleaner stalls and successive jobs degrade
-    # (see session.py periodicGC note); the 8g default measures flat.
+    # Constant memory PER CORE (4g), as a real cluster scale-out would: 4x
+    # executors bring 4x memory. A fixed heap across both legs starves the
+    # high-parallelism leg instead (8 concurrent tasks sharing the pool two
+    # tasks had -> UNABLE_TO_ACQUIRE_MEMORY at xwide round sizes). The
+    # big-heap ContextCleaner stall this used to trade against is handled by
+    # session.py's periodicGC.interval=45s.
+    env.setdefault("SPARKCRAWL_DRIVER_MEM", f"{4 * cores}g")
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), size, str(rounds), web],
-        capture_output=True, text=True, timeout=3600, env=env,
+        capture_output=True, text=True,
+        timeout=int(os.environ.get("SPARKCRAWL_SCALE_TIMEOUT", "3600")),
+        env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
+            print(line, flush=True)  # surface each leg as it lands
             return json.loads(line[len("RESULT "):])
+    # keep the full worker output — the interesting exception is usually
+    # thousands of lines above the tail
+    dump = f"/tmp/sparkcrawl_scale_fail_{cores}.log"
+    with open(dump, "w") as f:
+        f.write(out.stdout)
+        f.write("\n===== STDERR =====\n")
+        f.write(out.stderr)
     raise RuntimeError(
-        f"no RESULT from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+        f"no RESULT from cores={cores} (full output: {dump}):\n"
+        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
     )
 
 
