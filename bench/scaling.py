@@ -31,7 +31,12 @@ from sparkcrawl import schema as S
 
 cores = int(sys.argv[1]); size = sys.argv[2]; rounds = int(sys.argv[3])
 web = sys.argv[4]
-spark = get_spark(f"scale-{{cores}}", cores=cores, shuffle_partitions=cores)
+# Shuffle width 4x cores (a cluster never runs shuffle.partitions == #cores;
+# adaptive_shuffle still narrows small rounds below this ceiling). Same
+# multiplier on both legs, so the comparison stays symmetric while partitions
+# hold ~15-60k rows instead of the 0.5-1.2GB monsters width==cores produces
+# at xwide round sizes (which OOM'd the 8-core leg's Tungsten sorts at 8g).
+spark = get_spark(f"scale-{{cores}}", cores=cores, shuffle_partitions=4 * cores)
 store_dir = f"/tmp/sparkcrawl_scale_{{cores}}_{{os.getpid()}}"
 shutil.rmtree(store_dir, ignore_errors=True)
 store = SnapshotStore(store_dir)
@@ -59,6 +64,8 @@ print("RESULT " + json.dumps({{
     "urls_per_sec": round(n_traced / wall, 2),
     "steady_urls": ss_urls, "steady_wall_s": round(ss_wall, 2),
     "steady_urls_per_sec": round(ss_urls / max(ss_wall, 1e-9), 2),
+    "per_round": [{{"round": rd, "n_selected": n, "wall_s": round(w / 1000.0, 1)}}
+                  for rd, n, w in mrows],
 }}))
 """
 
@@ -66,13 +73,14 @@ print("RESULT " + json.dumps({{
 def run_at(cores: int, size: str, rounds: int, web: str) -> dict:
     code = WORKER.format(repo=REPO)
     env = dict(os.environ)
-    # Constant memory PER CORE (4g), as a real cluster scale-out would: 4x
-    # executors bring 4x memory. A fixed heap across both legs starves the
-    # high-parallelism leg instead (8 concurrent tasks sharing the pool two
-    # tasks had -> UNABLE_TO_ACQUIRE_MEMORY at xwide round sizes). The
-    # big-heap ContextCleaner stall this used to trade against is handled by
-    # session.py's periodicGC.interval=45s.
-    env.setdefault("SPARKCRAWL_DRIVER_MEM", f"{4 * cores}g")
+    # EQUAL heap on both legs (default 8g): the efficiency number then
+    # measures pure core scaling with no memory confound. The xwide OOM that
+    # briefly argued for per-core heap was really shuffle width == #cores
+    # producing GB-scale partitions; with the 4x-cores width the 8-core leg's
+    # sorts fit in the same 8g the 2-core leg gets. (A 32g heap measurably
+    # HURT: the 45s periodic full GC walks a 4x larger live set.)
+    env.setdefault("SPARKCRAWL_DRIVER_MEM",
+                   os.environ.get("SPARKCRAWL_SCALE_MEM", "8g"))
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), size, str(rounds), web],
         capture_output=True, text=True,
