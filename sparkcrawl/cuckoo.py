@@ -1,0 +1,290 @@
+"""Cuckoo-filter URL-seen prefilter — the deletable alternative to the Bloom.
+
+The north-rule names a "bloom/cuckoo URL-seen" set; `seen.BloomState` is the
+default, this module is the cuckoo option (CrawlConfig.seen_filter="cuckoo").
+Same contract: a probabilistic prefilter in front of the EXACT anti-join
+(seen.anti_join_with_bloom is duck-typed over either state), so exactness
+never depends on it. What the cuckoo adds over the Bloom:
+
+  * deletion — `delete_hashes_df` removes keys (fingerprint swap-with-last),
+    so re-crawl passes can EVICT stale URLs instead of rebuilding the filter
+    (a Bloom can only grow); and
+  * lower false-positive rate per bit at this sizing — 16-bit fingerprints in
+    4-slot buckets give fpp ~= 2*4/2^16 ~= 0.012% vs the Bloom's ~0.8%.
+
+Layout (Fan et al., "Cuckoo Filter: Practically Better Than Bloom",
+CoNEXT'14): per-shard table of 2^k buckets x 4 slots of uint16 fingerprints
+(0 = empty); partial-key cuckoo hashing, bucket2 = bucket1 XOR g(fp) with
+power-of-two buckets so the alternate is computable from (bucket, fp) alone.
+Inserts are wave-vectorized in numpy (sort-by-bucket + within-bucket rank
+against free-slot counts — two waves cover ~all items below 90% load); the
+rare relocation tail runs the classic kick loop per item with a
+DETERMINISTIC victim slot (kick mod 4) so filter state is reproducible, and
+overflow lands in a (shard, fp) stash checked by membership.
+
+Sharding mirrors BloomState: shard = url_hash mod B, co-partitioned with the
+seen table's bucket(url_hash) layout, one immutable file per shard, so at
+10^10 URLs each executor loads only its buckets' shards. Locally every code
+path still goes through the per-shard addressing. Insert/delete deltas are
+per-round admitted sets (small relative to the table); locally they collect
+to the driver via Arrow — at scale the same numpy kernels run executor-side
+per shard, since a shard's delta is exactly one url-hash bucket's rows.
+
+Reference parity: same role as seen.BloomState — the D4 get-or-put
+(URLFilterBolt.java:107-120) short-circuit; exactness still comes from the
+anti-join against the seen table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+
+SLOTS = 4
+FP_BITS = 16
+MAX_KICKS = 500
+_G = np.uint64(0x5BD1E995)  # fp -> alternate-bucket offset multiplier
+
+
+def _splitmix(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = (h.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _derive(hashes: np.ndarray, shards: int, sb: int):
+    """(n,) int64 url_hashes -> (shard, fp, b1, b2) arrays; sb = buckets per
+    shard (power of two). fp is uint16 nonzero; b1/b2 are WITHIN-shard."""
+    h = hashes.astype(np.uint64)
+    x = _splitmix(h)
+    fp = (x & np.uint64(0xFFFF)).astype(np.uint16)
+    fp = np.where(fp == 0, np.uint16(1), fp)
+    mask = np.uint64(sb - 1)
+    b1 = ((x >> np.uint64(16)) & mask).astype(np.int64)
+    with np.errstate(over="ignore"):
+        g = ((fp.astype(np.uint64) * _G) & mask).astype(np.int64)
+    b2 = b1 ^ g
+    shard = (h % np.uint64(shards)).astype(np.int64)
+    return shard, fp, b1, b2
+
+
+def _alt(bucket: np.ndarray | int, fp, sb: int):
+    """Alternate within-shard bucket of (bucket, fp)."""
+    mask = np.uint64(sb - 1)
+    with np.errstate(over="ignore"):
+        g = (np.uint64(fp) * _G) & mask
+    return int(np.uint64(bucket) ^ g) if np.isscalar(bucket) else (
+        bucket ^ g.astype(bucket.dtype)
+    )
+
+
+class CuckooState:
+    """Sharded cuckoo filter with the BloomState interface (n_bits = total
+    memory budget in bits, so configs are drop-in comparable): add_hashes_df /
+    hit_udf / save / load / load_shard, plus delete_hashes_df."""
+
+    def __init__(self, n_bits: int = 1 << 23, shards: int = 1):
+        total_buckets = n_bits // (FP_BITS * SLOTS)
+        sb = total_buckets // shards
+        assert sb >= 1 and (sb & (sb - 1)) == 0, (
+            "buckets per shard must be a power of two "
+            f"(n_bits={n_bits}, shards={shards} -> {sb})"
+        )
+        self.n_bits = n_bits
+        self.shards = shards
+        self.sb = sb
+        self.total_buckets = sb * shards
+        # flat (total_buckets * SLOTS,) fp table; bucket slots stay COMPACT
+        # (occupied prefix) — inserts fill at occ, deletes swap-with-last
+        self.table = np.zeros(self.total_buckets * SLOTS, dtype=np.uint16)
+        self.occ = np.zeros(self.total_buckets, dtype=np.uint8)
+        self.stash: set[int] = set()  # overflow keys: shard << 16 | fp
+
+    # ---- core numpy kernels ----
+
+    def _global(self, shard: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return shard * self.sb + b
+
+    def _contains(self, shard, fp, b1, b2) -> np.ndarray:
+        t = self.table.reshape(-1, SLOTS)
+        g1, g2 = self._global(shard, b1), self._global(shard, b2)
+        hit = (t[g1] == fp[:, None]).any(1) | (t[g2] == fp[:, None]).any(1)
+        if self.stash:
+            keys = (shard.astype(np.int64) << 16) | fp.astype(np.int64)
+            hit |= np.isin(keys, np.fromiter(
+                self.stash, dtype=np.int64, count=len(self.stash)
+            ))
+        return hit
+
+    def _place_wave(self, gb: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        """Try to place each (global bucket, fp) into a free slot —
+        vectorized: sort by bucket, rank within bucket, place rank < free.
+        Returns placed mask (input order)."""
+        if gb.size == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.argsort(gb, kind="stable")
+        sg, sf = gb[order], fp[order]
+        first = np.ones(sg.size, dtype=bool)
+        first[1:] = sg[1:] != sg[:-1]
+        starts = np.where(first, np.arange(sg.size), 0)
+        rank = np.arange(sg.size) - np.maximum.accumulate(starts)
+        occ = self.occ[sg]
+        can = rank < (SLOTS - occ.astype(np.int64))
+        tgt, slot = sg[can], occ[can].astype(np.int64) + rank[can]
+        self.table[tgt * SLOTS + slot] = sf[can]
+        np.add.at(self.occ, tgt, np.uint8(1))
+        placed = np.zeros(gb.size, dtype=bool)
+        placed[order] = can
+        return placed
+
+    def _insert_one(self, shard: int, fp: int, b: int) -> None:
+        """Relocation tail: classic cuckoo kicks, deterministic victim."""
+        cur_fp, cur_b = np.uint16(fp), int(b)
+        base = shard * self.sb
+        for kick in range(MAX_KICKS):
+            g = base + cur_b
+            if self.occ[g] < SLOTS:
+                self.table[g * SLOTS + self.occ[g]] = cur_fp
+                self.occ[g] += 1
+                return
+            v = kick % SLOTS
+            vfp = self.table[g * SLOTS + v]
+            self.table[g * SLOTS + v] = cur_fp
+            cur_fp = vfp
+            cur_b = _alt(cur_b, cur_fp, self.sb)
+        self.stash.add((shard << 16) | int(cur_fp))
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        if hashes.size == 0:
+            return
+        shard, fp, b1, b2 = _derive(hashes, self.shards, self.sb)
+        # canonical key dedup: pair {b1,b2} is (fp, min(b1,b2))-determined
+        key = (
+            (shard.astype(np.int64) << 48)
+            | (fp.astype(np.int64) << 32)
+            | np.minimum(b1, b2)
+        )
+        _, keep = np.unique(key, return_index=True)
+        shard, fp, b1, b2 = shard[keep], fp[keep], b1[keep], b2[keep]
+        fresh = ~self._contains(shard, fp, b1, b2)
+        shard, fp, b1, b2 = shard[fresh], fp[fresh], b1[fresh], b2[fresh]
+        placed = self._place_wave(self._global(shard, b1), fp)
+        r = ~placed
+        placed2 = self._place_wave(self._global(shard[r], b2[r]), fp[r])
+        rs, rf, rb = shard[r][~placed2], fp[r][~placed2], b1[r][~placed2]
+        for s, f, b in zip(rs.tolist(), rf.tolist(), rb.tolist()):
+            self._insert_one(s, f, b)
+
+    def delete_hashes(self, hashes: np.ndarray) -> None:
+        """Remove one stored fingerprint per distinct key (no-op for keys
+        never inserted). Buckets stay compact: swap-with-last."""
+        if hashes.size == 0:
+            return
+        shard, fp, b1, b2 = _derive(hashes, self.shards, self.sb)
+        key = (
+            (shard.astype(np.int64) << 48)
+            | (fp.astype(np.int64) << 32)
+            | np.minimum(b1, b2)
+        )
+        _, keep = np.unique(key, return_index=True)
+        t = self.table
+        for i in keep.tolist():
+            s, f = int(shard[i]), int(fp[i])
+            removed = False
+            for b in (int(b1[i]), int(b2[i])):
+                g = s * self.sb + b
+                n = int(self.occ[g])
+                for sl in range(n):
+                    if t[g * SLOTS + sl] == f:
+                        t[g * SLOTS + sl] = t[g * SLOTS + n - 1]
+                        t[g * SLOTS + n - 1] = 0
+                        self.occ[g] -= 1
+                        removed = True
+                        break
+                if removed:
+                    break
+            if not removed:
+                self.stash.discard((s << 16) | f)
+
+    # ---- DataFrame interface (BloomState-compatible) ----
+
+    def add_hashes_df(self, df: DataFrame) -> None:
+        """OR the url_hash column of df into the filter. Locally the delta
+        collects via Arrow (per-round admitted sets are small relative to
+        the table); at scale the same kernel runs executor-side per shard —
+        see module docstring."""
+        pdf = df.select("url_hash").toPandas()
+        self.add_hashes(pdf["url_hash"].to_numpy(dtype=np.int64))
+
+    def delete_hashes_df(self, df: DataFrame) -> None:
+        pdf = df.select("url_hash").toPandas()
+        self.delete_hashes(pdf["url_hash"].to_numpy(dtype=np.int64))
+
+    def hit_udf(self):
+        """pandas UDF: url_hash -> bool (True = maybe seen)."""
+        table, shards, sb = self.table.tobytes(), self.shards, self.sb
+        stash = np.fromiter(
+            self.stash, dtype=np.int64, count=len(self.stash)
+        )
+
+        @pandas_udf("boolean")
+        def _hit(h: pd.Series) -> pd.Series:
+            t = np.frombuffer(table, dtype=np.uint16).reshape(-1, SLOTS)
+            shard, fp, b1, b2 = _derive(
+                h.to_numpy(dtype=np.int64), shards, sb
+            )
+            g1, g2 = shard * sb + b1, shard * sb + b2
+            hit = (t[g1] == fp[:, None]).any(1) | (
+                t[g2] == fp[:, None]
+            ).any(1)
+            if stash.size:
+                keys = (shard.astype(np.int64) << 16) | fp.astype(np.int64)
+                hit |= np.isin(keys, stash)
+            return pd.Series(hit)
+
+        return _hit
+
+    # ---- persistence: one immutable file per shard + stash sidecar ----
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        n = self.sb * SLOTS
+        for s in range(self.shards):
+            with open(os.path.join(path, f"shard-{s:04d}.bin"), "wb") as f:
+                f.write(self.table[s * n:(s + 1) * n].tobytes())
+        stash = np.fromiter(
+            sorted(self.stash), dtype=np.int64, count=len(self.stash)
+        )
+        with open(os.path.join(path, "stash.bin"), "wb") as f:
+            f.write(stash.tobytes())
+
+    @staticmethod
+    def load_shard(path: str, s: int) -> np.ndarray:
+        """Read ONE shard's fp table — the executor-side load unit."""
+        return np.fromfile(
+            os.path.join(path, f"shard-{s:04d}.bin"), dtype=np.uint16
+        )
+
+    @classmethod
+    def load(cls, path: str, n_bits: int, shards: int = 1) -> "CuckooState":
+        c = cls(n_bits, shards)
+        n = c.sb * SLOTS
+        for s in range(shards):
+            arr = cls.load_shard(path, s)
+            assert arr.size == n, f"cuckoo shard {s} size mismatch"
+            c.table[s * n:(s + 1) * n] = arr
+        # deletes keep buckets compact, so occupancy is recoverable as the
+        # nonzero count per bucket
+        c.occ = (
+            c.table.reshape(-1, SLOTS) != 0
+        ).sum(axis=1).astype(np.uint8)
+        sp = os.path.join(path, "stash.bin")
+        if os.path.exists(sp):
+            c.stash = set(np.fromfile(sp, dtype=np.int64).tolist())
+        return c

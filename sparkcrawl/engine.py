@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from sparkcrawl import schema as S
+from sparkcrawl import cuckoo as cuckoomod
 from sparkcrawl import politeness, robots, seen as seenmod
 from sparkcrawl.filters import FilterConfig, admission_predicate
 from sparkcrawl.extract import with_extracted
@@ -61,6 +62,12 @@ class CrawlConfig:
     # shuffled joins on host (identical results, tested).
     broadcast_host_state: bool = True
     use_bloom: bool = True
+    # Which probabilistic seen-prefilter backs the exact anti-join (the
+    # north-rule's "bloom/cuckoo URL-seen"): "bloom" (seen.BloomState,
+    # default) or "cuckoo" (cuckoo.CuckooState — deletable, ~60x lower fpp
+    # at the same bit budget; see sparkcrawl/cuckoo.py). Exactness never
+    # depends on the choice (tested identical to use_bloom=False).
+    seen_filter: str = "bloom"
     bloom_bits: int = 1 << 23  # ~1M urls at 8 bits/key locally
     # Bloom shard count B: shard = pmod(url_hash, B), one persisted file
     # per shard (seen.BloomState). At 10^10 URLs the ~12 GB bitmap ships
@@ -223,13 +230,27 @@ class CrawlEngine:
             rb, cfg.agent, with_agent_flag=True
         ).cache()
         self.host_rules.count()
-        self._bloom: seenmod.BloomState | None = None
+        self._bloom = None  # BloomState | CuckooState (duck-typed)
 
     # ---- incremental seen-Bloom (see seen.BloomState scale notes) ----
+
+    def _filter_kind(self) -> str:
+        # resume reads the kind from the snapshot meta so a store written
+        # with either filter reopens with the right decoder
+        return str(self.store.meta.get("seen_filter", self.cfg.seen_filter))
+
+    def _new_seen_filter(self):
+        if self.cfg.seen_filter == "cuckoo":
+            return cuckoomod.CuckooState(
+                self.cfg.bloom_bits, self.cfg.bloom_shards
+            )
+        return seenmod.BloomState(self.cfg.bloom_bits, self.cfg.bloom_shards)
 
     def _bloom_path(self) -> str:
         import os
 
+        if self._filter_kind() == "cuckoo":
+            return os.path.join(self.store.root, "cuckoo")
         # sharded layout is a directory of per-shard files; the single-
         # shard legacy layout stays a flat file (resume-compatible)
         shards = int(
@@ -238,7 +259,8 @@ class CrawlEngine:
         name = "bloom" if shards > 1 else "bloom.bin"
         return os.path.join(self.store.root, name)
 
-    def bloom(self) -> seenmod.BloomState:
+    def bloom(self):
+        """The active seen-prefilter state (Bloom or cuckoo — duck-typed)."""
         import os
 
         if self._bloom is not None:
@@ -246,13 +268,15 @@ class CrawlEngine:
         path = self._bloom_path()
         n_bits = int(self.store.meta.get("bloom_bits", self.cfg.bloom_bits))
         n_shards = int(self.store.meta.get("bloom_shards", 1))
+        cls = (
+            cuckoomod.CuckooState
+            if self._filter_kind() == "cuckoo" else seenmod.BloomState
+        )
         if os.path.exists(path) and self.store.committed_round >= 0:
-            self._bloom = seenmod.BloomState.load(path, n_bits, n_shards)
+            self._bloom = cls.load(path, n_bits, n_shards)
         else:
-            # resume without a bitmap: rebuild once from the seen table
-            self._bloom = seenmod.BloomState(
-                self.cfg.bloom_bits, self.cfg.bloom_shards
-            )
+            # resume without a persisted filter: rebuild once from seen
+            self._bloom = self._new_seen_filter()
             if self.store.exists("seen"):
                 self._bloom.add_hashes_df(
                     self.store.read(self.spark, "seen", S.SEEN)
@@ -321,16 +345,15 @@ class CrawlEngine:
         self.store.stage_overwrite("host_priority", host_priority)
         self.store.stage_overwrite("host_clock", _empty(self.spark, S.HOST_CLOCK))
         if self.cfg.use_bloom:
-            self._bloom = seenmod.BloomState(
-                self.cfg.bloom_bits, self.cfg.bloom_shards
-            )
+            self._bloom = self._new_seen_filter()
             self._bloom.add_hashes_df(seen)
             self._save_bloom()
         seen.unpersist()
         self.store.commit(
             {"round": 0, "n_crawled": 0, "n_frontier": n_seeds,
              "n_seen": n_seeds, "bloom_bits": self.cfg.bloom_bits,
-             "bloom_shards": self.cfg.bloom_shards}
+             "bloom_shards": self.cfg.bloom_shards,
+             "seen_filter": self.cfg.seen_filter}
         )
 
     def init_recrawl(self, seeds: DataFrame) -> None:
@@ -382,9 +405,7 @@ class CrawlEngine:
         store.stage_overwrite("metrics", _empty(spark, S.METRICS))
         store.stage_overwrite("lineage", _empty(spark, S.LINEAGE))
         if self.cfg.use_bloom:
-            self._bloom = seenmod.BloomState(
-                self.cfg.bloom_bits, self.cfg.bloom_shards
-            )
+            self._bloom = self._new_seen_filter()
             self._bloom.add_hashes_df(seen)
             self._save_bloom()
         seen.unpersist()
@@ -392,7 +413,8 @@ class CrawlEngine:
             {"round": 0, "pass": int(self.store.meta.get("pass", 1)) + 1,
              "n_crawled": 0, "n_frontier": n_seeds, "n_seen": n_seeds,
              "bloom_bits": self.cfg.bloom_bits,
-             "bloom_shards": self.cfg.bloom_shards}
+             "bloom_shards": self.cfg.bloom_shards,
+             "seen_filter": self.cfg.seen_filter}
         )
 
     # ---- one round ----
@@ -817,6 +839,7 @@ class CrawlEngine:
             "n_seen": n_seen,
             "bloom_bits": prev_meta.get("bloom_bits", cfg.bloom_bits),
             "bloom_shards": prev_meta.get("bloom_shards", 1),
+            "seen_filter": prev_meta.get("seen_filter", cfg.seen_filter),
         }
         if "pass" in prev_meta:
             meta["pass"] = prev_meta["pass"]
