@@ -59,27 +59,47 @@ def _sharded_indices(hashes: np.ndarray, shards: int,
     return _indices(hashes, shard_bits) + s[None, :] * shard_bits
 
 
+def _partition_bitmaps(df: DataFrame, shards: int, shard_bits: int,
+                       n_bytes: int) -> DataFrame:
+    """mapInPandas: one binary bitmap row per non-empty input partition —
+    the Arrow-batched replacement for the old per-row RDD-pickle aggregate
+    (at 10^6-URL rounds the pickle path was a measurable hot-loop cost).
+    Each task ORs its whole partition into a local numpy bitmap in a few
+    vectorized passes; only the (n_bytes)-sized bitmaps leave the executor."""
+
+    def gen(batches):
+        acc = None
+        for pdf in batches:
+            hs = pdf["url_hash"].to_numpy(dtype=np.int64)
+            if hs.size:
+                if acc is None:
+                    acc = np.zeros(n_bytes, dtype=np.uint8)
+                idx = _sharded_indices(hs, shards, shard_bits).ravel()
+                np.bitwise_or.at(
+                    acc, idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+                )
+        if acc is not None:
+            yield pd.DataFrame({"bm": [acc.tobytes()]})
+
+    return df.select("url_hash").mapInPandas(gen, "bm binary")
+
+
+def _or_collect(bitmaps: DataFrame, n_bytes: int) -> np.ndarray:
+    """Collect per-partition bitmaps and OR them on the driver. Volume is
+    (#non-empty partitions x n_bytes) — MBs locally. At 10^10-URL scale the
+    sharded layout replaces this hop entirely: each executor ORs only its
+    url-hash buckets' shard slices (see BloomState scale notes)."""
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for r in bitmaps.collect():
+        np.bitwise_or(acc, np.frombuffer(r["bm"], dtype=np.uint8), out=acc)
+    return acc
+
+
 def build_bloom(seen: DataFrame, n_bits: int) -> bytes:
-    """OR-reduce per-partition bitmaps of the seen table's url_hash column.
-
-    treeAggregate keeps the reduction off a single driver hop at scale.
-    """
+    """OR-reduce per-partition bitmaps of the seen table's url_hash column."""
     n_bytes = (n_bits + 7) // 8
-
-    def seq_op(acc: np.ndarray, h: int) -> np.ndarray:
-        idx = _indices(np.array([h], dtype=np.int64), n_bits)
-        np.bitwise_or.at(acc, idx.ravel() >> 3,
-                         (1 << (idx.ravel() & 7)).astype(np.uint8))
-        return acc
-
-    def comb_op(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        return np.bitwise_or(a, b)
-
-    rdd = seen.select("url_hash").rdd.map(lambda r: r[0])
-    bitmap = rdd.treeAggregate(
-        np.zeros(n_bytes, dtype=np.uint8), seq_op, comb_op, depth=2
-    )
-    return bitmap.tobytes()
+    bm = _or_collect(_partition_bitmaps(seen, 1, n_bits, n_bytes), n_bytes)
+    return bm.tobytes()
 
 
 def bloom_hit_udf(bitmap: bytes, n_bits: int):
@@ -125,29 +145,14 @@ class BloomState:
         self.bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
 
     def add_hashes_df(self, df: DataFrame) -> None:
-        """OR the url_hash column of df into the bitmap (distributed
-        per-partition vectorized bitmaps, OR-reduced)."""
-        shards, shard_bits = self.shards, self.shard_bits
+        """OR the url_hash column of df into the bitmap (Arrow-batched
+        per-partition vectorized bitmaps, OR-reduced — _partition_bitmaps)."""
         n_bytes = self.n_bits // 8
-
-        def part(it):
-            acc = np.zeros(n_bytes, dtype=np.uint8)
-            hs = np.fromiter((r[0] for r in it), dtype=np.int64)
-            if hs.size:
-                idx = _sharded_indices(hs, shards, shard_bits).ravel()
-                np.bitwise_or.at(
-                    acc, idx >> 3, (1 << (idx & 7)).astype(np.uint8)
-                )
-            yield acc
-
-        parts = df.select("url_hash").rdd.mapPartitions(part)
-        delta = parts.treeAggregate(  # aggregate: safe on empty RDDs
-            np.zeros(n_bytes, dtype=np.uint8),
-            np.bitwise_or,
-            np.bitwise_or,
-            depth=2,
+        delta = _or_collect(
+            _partition_bitmaps(df, self.shards, self.shard_bits, n_bytes),
+            n_bytes,
         )
-        self.bitmap = np.bitwise_or(self.bitmap, delta)
+        np.bitwise_or(self.bitmap, delta, out=self.bitmap)
 
     def hit_udf(self):
         bitmap, shards, shard_bits = (
