@@ -61,6 +61,20 @@ class CrawlConfig:
     # robots-bearing hosts set False: the same equi-joins then plan as
     # shuffled joins on host (identical results, tested).
     broadcast_host_state: bool = True
+    # Fetch-join strategy for pruning the web table to the selected rows:
+    # "broadcast" ships the selected url_norm keys to every executor (right
+    # for small rounds — one tiny broadcast, web never shuffles);
+    # "bucketed" prunes with a shuffled-hash semi-join against the cached
+    # web's existing hash(url_norm) partitioning (right for BIG rounds —
+    # a 10^6-key selection would be a 100MB serial driver collect+broadcast
+    # per round; the shuffled semi exchanges only the narrow key column and
+    # builds per-partition hash sets, the local analogue of an Iceberg
+    # storage-bucketed join). "auto" picks bucketed when the frontier
+    # estimate clears bucketed_fetch_min AND the round runs at the cached
+    # web's partition width (the co-partitioning precondition — otherwise
+    # the web side would reshuffle, which must never happen).
+    fetch_join: str = "auto"
+    bucketed_fetch_min: int = 200_000
     use_bloom: bool = True
     # Which probabilistic seen-prefilter backs the exact anti-join (the
     # north-rule's "bloom/cuckoo URL-seen"): "bloom" (seen.BloomState,
@@ -218,12 +232,36 @@ class CrawlEngine:
             F.col("url").alias("url_norm"),
             "http_status", "redirect_to", "content_type", "content_length",
         )
+        # ONE web frame: pages ⟗ meta, joined ONCE at init and cached (both
+        # unique on url_norm, so sel⟕pages⟕meta ≡ sel⟕(pages⟗meta)
+        # row-for-row). Halves the per-round web scans — separate frames
+        # paid two full cached scans per round (pages prune + meta prune).
+        # The cluster analogue is the pages Iceberg table carrying its
+        # protocol sidecar columns, written co-bucketed at ingest. Without
+        # the cache the one-time join would instead replay (and shuffle
+        # html) every round, so the uncached path keeps per-side pruning
+        # (_web = None branch in _run_round).
+        self._cache_width = n_shuffle
+        self._web = None
         if cfg.cache_web:
-            # the synthetic web is re-joined every round; pin it in memory
-            # (cluster analogue: Iceberg bucket pruning + OS page cache keep
-            # the hot fetch working set off cold storage)
-            self._pg = self._pg.repartition(n_shuffle, "url_norm").cache()
-            self._mt = self._mt.repartition(n_shuffle, "url_norm").cache()
+            # pin the joined web in memory (cluster analogue: Iceberg
+            # bucket pruning + OS page cache keep the hot fetch working
+            # set off cold storage). The cache plan is captured with AQE
+            # OFF: an AdaptiveSparkPlan inside InMemoryRelation hides the
+            # final hashpartitioning(url_norm) from outer queries, which
+            # would then re-Exchange the html payload on every bucketed
+            # fetch join — the exact shuffle this cache exists to prevent
+            # (plan-guarded in test_plan_fetch_join).
+            aqe = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                self._web = (
+                    self._pg.join(self._mt, "url_norm", "full")
+                    .repartition(n_shuffle, "url_norm")
+                    .cache()
+                )
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", aqe)
         rb = robots_df if robots_df is not None else _empty(spark, S.ROBOTS)
         # effective robots block per host — tiny, computed once, broadcast.
         self.host_rules = robots.effective_rules(
@@ -441,6 +479,27 @@ class CrawlEngine:
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", str(cur))
 
+    def _use_bucketed_fetch(self, frontier_est) -> bool:
+        """Bucketed (shuffled-hash) fetch prune iff: configured, the
+        frontier estimate clears the threshold (a selection that big would
+        make the broadcast a serial driver round-trip), AND this round's
+        shuffle width equals the cached web's partition width so the web
+        side reuses its partitioning with NO exchange (plan-guarded)."""
+        if self.cfg.fetch_join == "broadcast" or not self.cfg.cache_web:
+            return False  # without the cache there is no partitioning to
+            # reuse — a shuffled prune would exchange the html payload
+        width_ok = (
+            int(self.spark.conf.get("spark.sql.shuffle.partitions", "0"))
+            == self._cache_width
+        )
+        if self.cfg.fetch_join == "bucketed":
+            return width_ok
+        return (
+            width_ok
+            and frontier_est is not None
+            and int(frontier_est) >= self.cfg.bucketed_fetch_min
+        )
+
     def _shuffle_target(self, est, ceiling: int | None = None) -> int:
         """Spill-aware per-round shuffle width: clamp(ceil(est / rows_per),
         1, ceiling). est=None (externally seeded / legacy store) keeps full
@@ -503,21 +562,38 @@ class CrawlEngine:
             "disallow_prefixes", "crawl_delay", "agent_specific"
         )
 
-        # 4. "fetch": join the synthetic web (pages + protocol sidecar).
-        # pages.url is canonical, so this is an equi-join on url_norm. The
-        # html payload must never shuffle or sort wholesale: first a
-        # KEY-ONLY broadcast semi-join prunes the cached pages scan to the
-        # selected rows (one streaming pass over the cache, no sort), then
-        # the outer join runs on the pruned (≤ selection-sized) side. At
-        # 10^10 scale the broadcast of selected keys is replaced by an
-        # Iceberg storage-bucketed join on bucket(url) — both sides
-        # co-partitioned, same no-reshuffle property (ARCHITECTURE.md §4).
-        sel_keys = F.broadcast(sel.select("url_norm"))
-        pg_hits = self._pg.join(sel_keys, "url_norm", "left_semi")
-        mt_hits = self._mt.join(sel_keys, "url_norm", "left_semi")
-        fx = sel.join(pg_hits, "url_norm", "left").join(
-            mt_hits, "url_norm", "left"
-        )
+        # 4. "fetch": join the synthetic web (pages ⟗ protocol sidecar,
+        # pre-joined at init). pages.url is canonical, so this is an
+        # equi-join on url_norm. The html payload must never shuffle or
+        # sort wholesale: a KEY-ONLY semi-join prunes the cached web scan
+        # to the selected rows (one streaming pass over the cache, no
+        # sort), then the outer join runs on the pruned (≤ selection-sized)
+        # side. The key side ships two ways (cfg.fetch_join): broadcast
+        # for small rounds, or a shuffled-hash semi against the cache's
+        # hash(url_norm) partitioning for big rounds — exchanging only the
+        # narrow key column, never collecting 10^6 keys through the
+        # driver. At 10^10 scale the latter IS the Iceberg
+        # storage-bucketed join on bucket(url) (ARCHITECTURE.md §4).
+        bucketed = self._use_bucketed_fetch(prev_meta.get("n_frontier"))
+        if bucketed:
+            # web side: cached HashPartitioning(url_norm, cache_width);
+            # round width == cache width (gate), so only sel_keys
+            # exchanges and the SHJ builds on the key side (semi-join
+            # build side is always the right), streaming the web unsorted.
+            sel_keys = sel.select("url_norm").hint("shuffle_hash")
+        else:
+            sel_keys = F.broadcast(sel.select("url_norm"))
+        if self._web is not None:
+            web_hits = self._web.join(sel_keys, "url_norm", "left_semi")
+        else:
+            # uncached: prune each source BEFORE the pages⟗meta join so
+            # html reaches the semi-join straight off the parquet scan —
+            # the outer join then runs on two selection-sized sides
+            web_hits = self._pg.join(sel_keys, "url_norm", "left_semi").join(
+                self._mt.join(sel_keys, "url_norm", "left_semi"),
+                "url_norm", "full",
+            )
+        fx = sel.join(web_hits, "url_norm", "left")
         # incremental re-crawl: join the previous pass's doc cache (the
         # If-Modified-Since clock — CrawlerBolt.java:473-475). Same key-only
         # prune as the pages join; at 10^10 scale the cache is the same

@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.cleaner.periodicGC.interval", "45s")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # single-JVM local mode: every task is PROCESS_LOCAL, so waiting
+        # for "better" locality only delays launches when concurrent jobs
+        # (the engine's threaded stage writes) contend for slots. A real
+        # cluster keeps the 3s default (set via spark-submit conf).
+        .config("spark.locality.wait", "0s")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
