@@ -1,0 +1,63 @@
+"""Per-phase round profile: run N crawl rounds at a given core count with
+SPARKCRAWL_TIMING=1 and print each round's phase breakdown (materialize /
+seen+seq+counters / stage_writes / commit) — the drill-down tool behind the
+scaling bench (bench/scaling.py reports only per-round walls).
+
+Usage: python bench/profile_round.py [size] [cores] [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+os.environ.setdefault("SPARKCRAWL_TIMING", "1")
+
+
+def main():
+    size = sys.argv[1] if len(sys.argv) > 1 else "wide"
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    from gen_fixtures import generate, write_parquet
+    from sparkcrawl.session import get_spark
+    from sparkcrawl.engine import CrawlConfig, CrawlEngine
+    from sparkcrawl.tables import SnapshotStore
+    from sparkcrawl import schema as S
+
+    web = f"/tmp/sparkcrawl_benchweb_{size}"
+    if not os.path.exists(os.path.join(web, "_DONE")):
+        shutil.rmtree(web, ignore_errors=True)
+        write_parquet(generate(size, seed=42), web)
+        with open(os.path.join(web, "_DONE"), "w") as f:
+            f.write("ok")
+
+    os.environ.setdefault("SPARKCRAWL_DRIVER_MEM", "8g")
+    spark = get_spark(f"profile-{cores}", cores=cores,
+                      shuffle_partitions=4 * cores)
+    store_dir = f"/tmp/sparkcrawl_profile_{cores}_{os.getpid()}"
+    shutil.rmtree(store_dir, ignore_errors=True)
+    store = SnapshotStore(store_dir)
+    pages = spark.read.schema(S.PAGES).parquet(f"{web}/pages.parquet")
+    meta = spark.read.schema(S.PAGE_META).parquet(f"{web}/page_meta.parquet")
+    robots = spark.read.schema(S.ROBOTS).parquet(f"{web}/robots.parquet")
+    seeds = spark.read.schema(S.SEEDS).parquet(f"{web}/seeds.parquet")
+    eng = CrawlEngine(spark, store, pages, meta, robots, CrawlConfig())
+    eng.init_frontier(seeds)
+    for r in range(1, rounds + 1):
+        t0 = time.time()
+        out = eng.run_round(r)
+        out["wall_s"] = round(time.time() - t0, 1)
+        print("ROUND " + json.dumps(out), flush=True)
+    shutil.rmtree(store_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

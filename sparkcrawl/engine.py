@@ -180,12 +180,17 @@ def _empty(spark: SparkSession, schema) -> DataFrame:
 
 
 class _Ticker:
-    """Per-phase wall timings (enabled via SPARKCRAWL_TIMING=1)."""
+    """Per-phase wall timings (SPARKCRAWL_TIMING=1). Level 2 additionally
+    FORCES materialization at each intra-chain checkpoint (eager instead of
+    lazy) so the sub-phase walls are attributable — profiling only, the
+    extra barriers cost pipeline overlap."""
 
     def __init__(self):
         import os
 
-        self.on = os.environ.get("SPARKCRAWL_TIMING") == "1"
+        lvl = os.environ.get("SPARKCRAWL_TIMING", "0")
+        self.on = lvl in ("1", "2")
+        self.deep = lvl == "2"
         self.t = time.time()
         self.phases: dict[str, float] = {}
 
@@ -193,6 +198,15 @@ class _Ticker:
         now = time.time()
         self.phases[label] = round(now - self.t, 2)
         self.t = now
+
+    def barrier(self, label: str, df: DataFrame) -> DataFrame:
+        """At level 2: eager-checkpoint df and record the wall. Otherwise
+        return the lazy checkpoint unchanged."""
+        if not self.deep:
+            return df.localCheckpoint(eager=False)
+        out = df.localCheckpoint(eager=True)
+        self(label)
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -551,7 +565,8 @@ class CrawlEngine:
             frontier_size=int(prev_meta.get("n_frontier", 0)) or None,
             hint_broadcast=cfg.broadcast_host_state,
             default_delay_hosts=dd_hosts,
-        ).localCheckpoint(eager=False)
+        )
+        selected = tk.barrier("select", selected)
 
         # 3. robots disallow (broadcast join + JVM exists())
         sel = robots.join_rules(
@@ -593,6 +608,15 @@ class CrawlEngine:
                 self._mt.join(sel_keys, "url_norm", "left_semi"),
                 "url_norm", "full",
             )
+        if bucketed:
+            # Big rounds: the outer join must NOT plan as sort-merge — SMJ
+            # would Tungsten-sort the html-bearing pruned side (GBs at
+            # 10^6-URL rounds) plus the sel side every round. shuffle_hash
+            # builds a per-partition map on the pruned (≤ selection-sized)
+            # side and streams sel through it: zero sorts, and the web side
+            # again reuses the cache partitioning in place. Small rounds
+            # keep no hint: AQE sees a tiny web_hits and picks broadcast.
+            web_hits = web_hits.hint("shuffle_hash")
         fx = sel.join(web_hits, "url_norm", "left")
         # incremental re-crawl: join the previous pass's doc cache (the
         # If-Modified-Since clock — CrawlerBolt.java:473-475). Same key-only
@@ -642,35 +666,43 @@ class CrawlEngine:
             .when(clen > cfg.max_doc_size, F.lit("too_big"))
             .otherwise(F.lit("get"))
         )
-        fx = fx.withColumn("_pre", pre_action).drop(
-            "cached_ts"  # consumed by _pre; narrow (no-op without cache)
-        ).localCheckpoint(eager=False)
+        fx = fx.withColumn("_pre", pre_action)
+        # 5. Extraction rides the SAME stage as the fetch join (the Arrow
+        # batch streams straight off the join output — no barrier between
+        # them), with html MASKED to the fetchable rows so the round
+        # checkpoint stores extracted text, never the html payload.
+        # Checkpointing html was pure waste: extraction dropped it one
+        # stage later, but every round paid a payload-sized block-manager
+        # write (the memory-bandwidth cost that capped loop scaling).
+        # Extraction still runs on the selection's existing partitioning:
+        # after the per-host cap every host contributes <= 15 rows, so
+        # host-hash partitions are uniform and a mega-host CANNOT skew this
+        # stage; html never goes through an exchange. 304 rows ride the
+        # same Arrow pass: their content is unchanged by definition, so
+        # extracting from the current page = re-extracting the cached doc
+        # (the toStore=false re-emit, DocumentParserBolt.java:162-225).
+        fetch_mask = (
+            F.col("_pre").isin("get", "not_modified")
+            if has_cache else (F.col("_pre") == "get")
+        )
+        fx = fx.withColumn(
+            "content_hash",
+            F.when(
+                fetch_mask, F.xxhash64(F.coalesce(F.col("html"), F.lit(b"")))
+            ),
+        ).withColumn("html", F.when(fetch_mask, F.col("html")))
+        fx = with_extracted(fx).drop(
+            "html", "page_lang", "_denied",
+            "cached_ts",  # consumed by _pre; narrow (no-op without cache)
+        )
+        fx = tk.barrier("fetch+extract", fx)
 
         leftover = frontier.join(
             selected.select("url_norm"), "url_norm", "left_anti"
         )
 
-        # 5. GET + 304 rows -> extract; content dedup + lang filter on GETs.
-        fetchable = fx.filter(
-            F.col("_pre").isin("get", "not_modified")
-            if has_cache else (F.col("_pre") == "get")
-        )
-        # Extraction runs on the selection's existing partitioning: after the
-        # per-host cap every host contributes <= 15 rows, so host-hash
-        # partitions are uniform and a mega-host CANNOT skew this stage
-        # (the backlog skew was already absorbed by the salted top-k select).
-        # html therefore never goes through an exchange; only the narrow
-        # extracted rows shuffle for the dedup window. 304 rows ride the
-        # same Arrow pass: their content is unchanged by definition, so
-        # extracting from the current page = re-extracting the cached doc
-        # (the toStore=false re-emit, DocumentParserBolt.java:162-225).
-        fetchable = fetchable.withColumn(
-            "content_hash",
-            F.xxhash64(F.coalesce(F.col("html"), F.lit(b""))),
-        )
-        fetchable = with_extracted(fetchable).drop(
-            "html", "page_lang", "_denied"
-        )  # narrow before the window exchange
+        # content dedup + lang filter on GETs
+        fetchable = fx.filter(fetch_mask)
         gets = (
             fetchable.filter(F.col("_pre") == "get")
             if has_cache else fetchable
@@ -705,9 +737,9 @@ class CrawlEngine:
                 .withColumn("_in_cs", F.lit(None).cast("boolean"))
                 .withColumn("action", F.lit("not_modified"))
             )
-            got = gets.unionByName(nm).localCheckpoint(eager=False)
+            got = tk.barrier("dedup+lang", gets.unionByName(nm))
         else:
-            got = gets.localCheckpoint(eager=False)
+            got = tk.barrier("dedup+lang", gets)
 
         fetched = got.filter(F.col("action") == "fetched")
         # links follow from stored docs AND 304-reused cached docs
@@ -743,7 +775,7 @@ class CrawlEngine:
         )
 
         # 8. seen anti-join (incremental-Bloom-prefiltered) + deterministic seq
-        cand = cand.localCheckpoint(eager=False)
+        cand = tk.barrier("links+canon", cand)
         # count() doubles as the materialization barrier for the whole round
         # chain (politeness select -> fetch join -> extract -> dedup ->
         # candidates): every downstream job — including dense_seq's range
