@@ -134,7 +134,7 @@ def attach_rank(
 
 def dense_seq(
     df: DataFrame, order_cols: list[str], base: int,
-    size_bound: int | None = None,
+    size_bound: int | None = None, scratch: list | None = None,
 ) -> tuple[DataFrame, int]:
     """Add ``seq`` = base + global dense rank of (order_cols) — scale-safe.
     Returns (df_with_seq, total_rows): the total falls out of the offset
@@ -162,7 +162,9 @@ def dense_seq(
     d = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
         "_pid", F.spark_partition_id()
     )
-    d = d.localCheckpoint(eager=True)  # pin partitioning between the 2 jobs
+    d = _track(
+        scratch, d.localCheckpoint(eager=True)
+    )  # pin partitioning between the 2 jobs
     counts = {
         r["_pid"]: r["cnt"]
         for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -179,6 +181,42 @@ def _empty(spark: SparkSession, schema) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def _ckpt_jrdd(df: DataFrame):
+    """The JVM RDD holding a localCheckpoint'ed frame's blocks, or None if
+    the plan shape is unexpected (then the periodic-GC ContextCleaner stays
+    the fallback). DataFrame.unpersist() cannot free these — checkpoint
+    blocks belong to the RDD, not the SQL cache manager."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return plan.rdd()
+    except Exception:
+        pass
+    return None
+
+
+def _track(scratch: list | None, df: DataFrame) -> DataFrame:
+    if scratch is not None:
+        jr = _ckpt_jrdd(df)
+        if jr is not None:
+            scratch.append(jr)
+    return df
+
+
+def _free_scratch(scratch: list) -> None:
+    """Drop every round-scoped checkpoint NOW (async). Without this the
+    blocks — GBs of extracted text per round at 10^6-URL rounds — wait for
+    the 45s periodic GC + ContextCleaner, long enough for the block manager
+    to fill and evict the cached web under high-parallelism execution-memory
+    pressure (the measured 8-core round-over-round degradation)."""
+    for jr in scratch:
+        try:
+            jr.unpersist(False)
+        except Exception:
+            pass
+    scratch.clear()
+
+
 class _Ticker:
     """Per-phase wall timings (SPARKCRAWL_TIMING=1). Level 2 additionally
     FORCES materialization at each intra-chain checkpoint (eager instead of
@@ -193,6 +231,7 @@ class _Ticker:
         self.deep = lvl == "2"
         self.t = time.time()
         self.phases: dict[str, float] = {}
+        self.scratch: list | None = None  # round-scoped checkpoint RDDs
 
     def __call__(self, label: str) -> None:
         now = time.time()
@@ -201,12 +240,12 @@ class _Ticker:
 
     def barrier(self, label: str, df: DataFrame) -> DataFrame:
         """At level 2: eager-checkpoint df and record the wall. Otherwise
-        return the lazy checkpoint unchanged."""
-        if not self.deep:
-            return df.localCheckpoint(eager=False)
-        out = df.localCheckpoint(eager=True)
-        self(label)
-        return out
+        return the lazy checkpoint unchanged. Either way the checkpoint is
+        tracked for end-of-round release (_free_scratch)."""
+        out = df.localCheckpoint(eager=self.deep)
+        if self.deep:
+            self(label)
+        return _track(self.scratch, out)
 
 
 # ---------------------------------------------------------------------------
@@ -529,6 +568,8 @@ class CrawlEngine:
     def _run_round(self, round_no: int) -> dict:
         t0 = time.time()
         tk = _Ticker()
+        scratch: list = []  # this round's checkpoint RDDs, freed at commit
+        tk.scratch = scratch
         spark, cfg, store = self.spark, self.cfg, self.store
         frontier = store.read(spark, "frontier", S.FRONTIER)
         seen = store.read(spark, "seen", S.SEEN)
@@ -803,6 +844,7 @@ class CrawlEngine:
             .repartitionByRange(n_tr, F.col("seq"))
             .withColumn("_pid", F.spark_partition_id())
         ).localCheckpoint(eager=False)
+        _track(scratch, traced)
         with ThreadPoolExecutor(max_workers=1) as cex:
             counts_f = cex.submit(
                 lambda: traced.groupBy("_pid", "action")
@@ -820,6 +862,7 @@ class CrawlEngine:
             new_rows, n_admitted = dense_seq(
                 new_rows, ["parent_seq", "link_idx"],
                 base=round_no << ROUND_SHIFT, size_bound=n_links,
+                scratch=scratch,
             )
             counts: dict[str, int] = {}
             pid_counts: dict[int, int] = {}
@@ -845,8 +888,7 @@ class CrawlEngine:
             meta = dict(prev_meta)
             meta["round"] = round_no
             store.commit(meta)
-            selected.unpersist()
-            fx.unpersist()
+            _free_scratch(scratch)
             return {"n_selected": 0, "n_admitted": 0, "n_fetched": 0,
                     "n_frontier": int(meta.get("n_frontier", 0))}
         n_fetched = counts.get("fetched", 0)
@@ -952,6 +994,7 @@ class CrawlEngine:
         if "pass" in prev_meta:
             meta["pass"] = prev_meta["pass"]
         store.commit(meta)
+        _free_scratch(scratch)
         tk("commit")
         out = {
             "n_selected": n_selected, "n_fetched": n_fetched,

@@ -90,6 +90,36 @@ def test_bucketed_fetch_reuses_cache_partitioning(
     shutil.rmtree(str(tmp_path / "store"), ignore_errors=True)
 
 
+def test_bucketed_outer_join_never_sorts(spark, fixture_paths, tmp_path):
+    """fetch_join=bucketed: the sel ⟕ web_hits OUTER join must plan as a
+    ShuffledHashJoin too — SortMergeJoin would Tungsten-sort the
+    html-bearing pruned side (GBs at 10^6-URL rounds) every round."""
+    pages, meta, robots_df, seeds = load_inputs(spark, fixture_paths)
+    store = SnapshotStore(str(tmp_path / "store"))
+    eng = CrawlEngine(
+        spark, store, pages, meta, robots_df,
+        CrawlConfig(cache_web=True, fetch_join="bucketed"),
+    )
+    sel = _sel(spark)
+    sel_keys = sel.select("url_norm").hint("shuffle_hash")
+    web_hits = eng._web.join(sel_keys, "url_norm", "left_semi").hint(
+        "shuffle_hash"
+    )
+    fx = sel.join(web_hits, "url_norm", "left")
+    plan = _plan(fx)
+    # per-round portion of the tree = everything above the InMemoryTableScan
+    # (below it the explain embeds the one-time cache-BUILD plan, which may
+    # sort — that runs once at init, never per round)
+    head = plan.split("\n\n")[0].splitlines()
+    mi = next(i for i, l in enumerate(head) if "InMemoryTableScan" in l)
+    hot = head[:mi]
+    assert not any("SortMergeJoin" in l for l in hot), hot
+    assert not any("Sort (" in l or "Sort [" in l for l in hot), hot
+    assert sum("ShuffledHashJoin" in l for l in hot) == 2  # semi + outer
+    eng._web.unpersist()
+    shutil.rmtree(str(tmp_path / "store"), ignore_errors=True)
+
+
 def test_auto_fetch_gate(spark, fixture_paths, tmp_path):
     """auto mode: bucketed only when frontier clears the threshold AND the
     round width equals the cache width; broadcast otherwise."""

@@ -145,3 +145,34 @@ def test_range_join_is_equi_not_nested_loop(spark):
     # theta join would appear as a nested-loop/cartesian product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round_checkpoints_freed_after_commit(spark, fixture_paths, tmp_path):
+    """Round-scoped localCheckpoints must be unpersisted at commit, not left
+    for the periodic-GC ContextCleaner: at 10^6-URL rounds the pinned
+    extracted-text blocks otherwise fill the block manager and evict the
+    cached web under execution-memory pressure (measured as 8-core
+    round-over-round degradation on the xwide scaling bench)."""
+    import shutil
+
+    from conftest import load_inputs
+    from sparkcrawl.engine import CrawlConfig, CrawlEngine
+    from sparkcrawl.tables import SnapshotStore
+
+    pages, meta, robots_df, seeds = load_inputs(spark, fixture_paths)
+    store = SnapshotStore(str(tmp_path / "store"))
+    eng = CrawlEngine(spark, store, pages, meta, robots_df, CrawlConfig())
+    eng.init_frontier(seeds)
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = None
+    for r in range(1, 5):
+        eng.run_round(r)
+        n = jsc.getPersistentRDDs().size()
+        if baseline is None:
+            baseline = n  # web cache + host_rules (+ nothing round-scoped)
+        # allowed: the long-lived caches only — never growth with rounds
+        assert n <= baseline, (r, n, baseline)
+    if eng._web is not None:
+        eng._web.unpersist()
+    eng.host_rules.unpersist()
+    shutil.rmtree(str(tmp_path / "store"), ignore_errors=True)
