@@ -44,7 +44,8 @@ pages = spark.read.schema(S.PAGES).parquet(f"{{web}}/pages.parquet")
 meta = spark.read.schema(S.PAGE_META).parquet(f"{{web}}/page_meta.parquet")
 robots = spark.read.schema(S.ROBOTS).parquet(f"{{web}}/robots.parquet")
 seeds = spark.read.schema(S.SEEDS).parquet(f"{{web}}/seeds.parquet")
-eng = CrawlEngine(spark, store, pages, meta, robots, CrawlConfig())
+conf_kw = json.loads(os.environ.get("SPARKCRAWL_SCALE_CONF", "{{}}"))
+eng = CrawlEngine(spark, store, pages, meta, robots, CrawlConfig(**conf_kw))
 t0 = time.time()
 eng.run(seeds, max_rounds=rounds)
 wall = time.time() - t0
@@ -140,10 +141,12 @@ def main():
 
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     stamp = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    conf_note = os.environ.get("SPARKCRAWL_SCALE_CONF", "")
+    conf_note = f", conf={conf_note}" if conf_note else ""
     with open(md, "a") as f:
         f.write(
             f"\n## Scaling run {stamp} (size={size}, rounds={rounds}, "
-            f"N={n_lo} vs 4N={n_hi} cores)\n\n"
+            f"N={n_lo} vs 4N={n_hi} cores{conf_note})\n\n"
             "| parallelism | wall s | URLs traced | extracted | URLs/sec | "
             "steady URLs/sec |\n"
             "|---|---|---|---|---|---|\n"
