@@ -82,8 +82,16 @@ def run_at(cores: int, size: str, rounds: int, web: str) -> dict:
     # HURT: the 45s periodic full GC walks a 4x larger live set.)
     env.setdefault("SPARKCRAWL_DRIVER_MEM",
                    os.environ.get("SPARKCRAWL_SCALE_MEM", "8g"))
+    argv = [sys.executable, "-c", code, str(cores), size, str(rounds), web]
+    if os.environ.get("SPARKCRAWL_SCALE_PIN", "1") == "1":
+        # Pin the leg to exactly `cores` physical CPUs. Without this,
+        # local[N] is NOT an N-core machine: JVM GC threads, Python UDF
+        # workers and the driver all spill onto the host's full core set,
+        # inflating the small leg and under-measuring true N->4N scaling
+        # (a real N-core executor has N cores for EVERYTHING).
+        argv = ["taskset", "-c", f"0-{cores - 1}"] + argv
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), size, str(rounds), web],
+        argv,
         capture_output=True, text=True,
         timeout=int(os.environ.get("SPARKCRAWL_SCALE_TIMEOUT", "3600")),
         env=env,
@@ -143,6 +151,8 @@ def main():
     stamp = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     conf_note = os.environ.get("SPARKCRAWL_SCALE_CONF", "")
     conf_note = f", conf={conf_note}" if conf_note else ""
+    if os.environ.get("SPARKCRAWL_SCALE_PIN", "1") == "1":
+        conf_note += ", CPU-pinned (taskset 0..N-1 per leg)"
     with open(md, "a") as f:
         f.write(
             f"\n## Scaling run {stamp} (size={size}, rounds={rounds}, "
