@@ -26,6 +26,14 @@ def main():
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
+    # same CPU pinning as bench/scaling.py so phase walls are comparable
+    # (local[N] otherwise borrows all host cores for GC/Python workers)
+    if (os.environ.get("SPARKCRAWL_SCALE_PIN", "1") == "1"
+            and not os.environ.get("_SPARKCRAWL_PINNED")):
+        os.environ["_SPARKCRAWL_PINNED"] = "1"
+        os.execvp("taskset", ["taskset", "-c", f"0-{cores - 1}",
+                              sys.executable] + sys.argv)
+
     from gen_fixtures import generate, write_parquet
     from sparkcrawl.session import get_spark
     from sparkcrawl.engine import CrawlConfig, CrawlEngine
