@@ -72,8 +72,12 @@ def run_at(cores: int, web: str) -> dict:
     # constant memory per core, as cluster scale-out would provide — see
     # bench/scaling.py note (fixed heap starves the high-parallelism leg)
     env.setdefault("SPARKCRAWL_DRIVER_MEM", f"{4 * cores}g")
+    argv = [sys.executable, "-c", WORKER.format(repo=REPO), str(cores), web]
+    if os.environ.get("SPARKCRAWL_SCALE_PIN", "1") == "1":
+        # pin the leg to exactly `cores` CPUs — see bench/scaling.py
+        argv = ["taskset", "-c", f"0-{cores - 1}"] + argv
     out = subprocess.run(
-        [sys.executable, "-c", WORKER.format(repo=REPO), str(cores), web],
+        argv,
         capture_output=True, text=True,
         timeout=int(os.environ.get("SPARKCRAWL_SCALE_TIMEOUT", "1800")),
         env=env,

@@ -59,10 +59,28 @@ def main():
     seeds = spark.read.schema(S.SEEDS).parquet(f"{web}/seeds.parquet")
     eng = CrawlEngine(spark, store, pages, meta, robots, CrawlConfig())
     eng.init_frontier(seeds)
+
+    # whole-stage-codegen compile counter (Janino compilation is serial and
+    # identical at every parallelism level — a prime scaling-efficiency
+    # suspect when round plans embed round-varying literals)
+    try:
+        _cls = spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.metrics.source.CodegenMetrics$"
+        )
+        _hist = _cls.getField("MODULE$").get(None).METRIC_COMPILATION_TIME()
+    except Exception:
+        _hist = None
+
     for r in range(1, rounds + 1):
+        c0 = _hist.getCount() if _hist is not None else 0
         t0 = time.time()
         out = eng.run_round(r)
         out["wall_s"] = round(time.time() - t0, 1)
+        if _hist is not None:
+            out["codegen_compiles"] = _hist.getCount() - c0
+            out["codegen_mean_ms"] = round(
+                _hist.getSnapshot().getMean(), 1
+            )
         print("ROUND " + json.dumps(out), flush=True)
     shutil.rmtree(store_dir, ignore_errors=True)
 
