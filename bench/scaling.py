@@ -74,14 +74,16 @@ print("RESULT " + json.dumps({{
 def run_at(cores: int, size: str, rounds: int, web: str) -> dict:
     code = WORKER.format(repo=REPO)
     env = dict(os.environ)
-    # EQUAL heap on both legs (default 8g): the efficiency number then
-    # measures pure core scaling with no memory confound. The xwide OOM that
-    # briefly argued for per-core heap was really shuffle width == #cores
-    # producing GB-scale partitions; with the 4x-cores width the 8-core leg's
-    # sorts fit in the same 8g the 2-core leg gets. (A 32g heap measurably
-    # HURT: the 45s periodic full GC walks a 4x larger live set.)
+    # Heap = 4g/core (override with SPARKCRAWL_SCALE_MEM for equal-heap
+    # runs). Per-core memory is the cluster-faithful model: a 4N-executor
+    # cluster has 4N× the memory of an N-executor one, so an equal-heap
+    # comparison hands the small leg 4× the memory PER CORE — at xwide
+    # sizes that let the 2-core leg keep the ~5 GB web cache resident
+    # while the 8-core leg's execution memory evicted it every round (a
+    # confound in the other direction). bulk_scaling.py has always used
+    # 4g/core; both models' runs are recorded in BASELINE.md.
     env.setdefault("SPARKCRAWL_DRIVER_MEM",
-                   os.environ.get("SPARKCRAWL_SCALE_MEM", "8g"))
+                   os.environ.get("SPARKCRAWL_SCALE_MEM", f"{4 * cores}g"))
     argv = [sys.executable, "-c", code, str(cores), size, str(rounds), web]
     if os.environ.get("SPARKCRAWL_SCALE_PIN", "1") == "1":
         # Pin the leg to exactly `cores` physical CPUs. Without this,

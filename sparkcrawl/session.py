@@ -47,7 +47,13 @@ def get_spark(
         # at 11 -> 23 -> 47 s with a 16g heap; flat at ~5 s with GC forced).
         # An iterative frontier loop runs thousands of jobs per session —
         # periodic driver GC is the standard remedy (default is 30min).
-        .config("spark.cleaner.periodicGC.interval", "45s")
+        # Since the engine began unpersisting round checkpoints
+        # deterministically at commit (engine._free_scratch), the big
+        # per-round garbage no longer depends on this: the interval can be
+        # relaxed on large heaps, where each forced full GC walks the whole
+        # live set (measured 15-25s pauses at 32g) — SPARKCRAWL_GC_INTERVAL.
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARKCRAWL_GC_INTERVAL", "45s"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # single-JVM local mode: every task is PROCESS_LOCAL, so waiting
