@@ -64,6 +64,14 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    # ad-hoc conf overrides for bench A/Bs, e.g.
+    # SPARKCRAWL_EXTRA_SPARKCONF='{"spark.sql.adaptive.enabled":"false"}'
+    extra_env = os.environ.get("SPARKCRAWL_EXTRA_SPARKCONF")
+    if extra_env:
+        import json
+
+        for k, v in json.loads(extra_env).items():
+            b = b.config(k, str(v))
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
