@@ -34,18 +34,13 @@ def main():
         os.execvp("taskset", ["taskset", "-c", f"0-{cores - 1}",
                               sys.executable] + sys.argv)
 
-    from gen_fixtures import generate, write_parquet
+    from gen_web_sharded import ensure_web
     from sparkcrawl.session import get_spark
     from sparkcrawl.engine import CrawlConfig, CrawlEngine
     from sparkcrawl.tables import SnapshotStore
     from sparkcrawl import schema as S
 
-    web = f"/tmp/sparkcrawl_benchweb_{size}"
-    if not os.path.exists(os.path.join(web, "_DONE")):
-        shutil.rmtree(web, ignore_errors=True)
-        write_parquet(generate(size, seed=42), web)
-        with open(os.path.join(web, "_DONE"), "w") as f:
-            f.write("ok")
+    web = ensure_web(size, f"/tmp/sparkcrawl_benchweb_{size}")
 
     os.environ.setdefault("SPARKCRAWL_DRIVER_MEM", "8g")
     spark = get_spark(f"profile-{cores}", cores=cores,

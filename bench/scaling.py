@@ -14,7 +14,6 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
-import shutil
 import subprocess
 import sys
 
@@ -121,14 +120,9 @@ def main():
 
     sys.path.insert(0, REPO)
     sys.path.insert(0, os.path.join(REPO, "tests"))
-    from gen_fixtures import generate, write_parquet
+    from gen_web_sharded import ensure_web
 
-    web = f"/tmp/sparkcrawl_benchweb_{size}"
-    if not os.path.exists(os.path.join(web, "_DONE")):
-        shutil.rmtree(web, ignore_errors=True)
-        write_parquet(generate(size, seed=42), web)
-        with open(os.path.join(web, "_DONE"), "w") as f:
-            f.write("ok")
+    web = ensure_web(size, f"/tmp/sparkcrawl_benchweb_{size}")
 
     n_lo = int(os.environ.get("SPARKCRAWL_SCALE_N", "2"))
     n_hi = 4 * n_lo

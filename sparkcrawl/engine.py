@@ -817,12 +817,22 @@ class CrawlEngine:
 
         # 8. seen anti-join (incremental-Bloom-prefiltered) + deterministic seq
         cand = tk.barrier("links+canon", cand)
+        # The anti-join itself sits INSIDE the round's materialization
+        # barrier and is pinned once: dense_seq's range-sampling pass and
+        # rank exchange would otherwise each re-execute the Bloom prefilter
+        # + exact anti-join against the (ever-growing) seen table — the
+        # dominant re-computed slice of the per-round fixed cost.
+        if cfg.use_bloom:
+            new_rows = seenmod.anti_join_with_bloom(cand, seen, self.bloom())
+        else:
+            new_rows = seenmod.anti_join_seen(cand, seen, use_bloom=False)
+        new_rows = _track(scratch, new_rows.localCheckpoint(eager=False))
         # count() doubles as the materialization barrier for the whole round
         # chain (politeness select -> fetch join -> extract -> dedup ->
-        # candidates): every downstream job — including dense_seq's range
-        # sampling pass, which would otherwise re-run the chain — reads the
-        # pinned checkpoints.
-        n_links = cand.count()
+        # candidates -> seen anti-join): every downstream job — dense_seq's
+        # sampling pass, the counters, the stage writes — reads the pinned
+        # checkpoints.
+        n_new = new_rows.count()
         tk("materialize")
 
         # ---- counters: ONE pass over the per-row action column (branch mix
@@ -845,23 +855,21 @@ class CrawlEngine:
             .withColumn("_pid", F.spark_partition_id())
         ).localCheckpoint(eager=False)
         _track(scratch, traced)
-        with ThreadPoolExecutor(max_workers=1) as cex:
+        with ThreadPoolExecutor(max_workers=2) as cex:
             counts_f = cex.submit(
                 lambda: traced.groupBy("_pid", "action")
                 .agg(F.count("*").alias("n"))
                 .collect()
             )
-            if cfg.use_bloom:
-                new_rows = seenmod.anti_join_with_bloom(
-                    cand, seen, self.bloom()
-                )
-            else:
-                new_rows = seenmod.anti_join_seen(cand, seen, use_bloom=False)
+            # candidate-link count for the metrics row: a block count over
+            # the pinned cand checkpoint, concurrent with the rank jobs
+            n_links_f = cex.submit(cand.count)
             # dense_seq's offset prefix sum doubles as the admitted count —
-            # no separate count() job.
+            # no separate count() job. size_bound = the exact new-row count
+            # from the barrier, so small rounds collapse to one partition.
             new_rows, n_admitted = dense_seq(
                 new_rows, ["parent_seq", "link_idx"],
-                base=round_no << ROUND_SHIFT, size_bound=n_links,
+                base=round_no << ROUND_SHIFT, size_bound=n_new,
                 scratch=scratch,
             )
             counts: dict[str, int] = {}
@@ -873,6 +881,7 @@ class CrawlEngine:
             for pid in sorted(pid_counts):
                 tr_offsets[pid] = acc
                 acc += pid_counts[pid]
+            n_links = n_links_f.result()
         n_selected = sum(counts.values())
         tk("seen+seq+counters")
         if n_selected == 0:
