@@ -75,6 +75,21 @@ class CrawlConfig:
     # the web side would reshuffle, which must never happen).
     fetch_join: str = "auto"
     bucketed_fetch_min: int = 200_000
+    # Frontier write discipline. "delta" (default): a round APPENDS the
+    # admitted rows and the selected keys (merge-on-read tombstones,
+    # `frontier_consumed` table); the live frontier = data dirs anti-join
+    # tombstones, and a threshold-triggered compaction folds tombstones
+    # back into one base (engine._compact_frontier). Per-round frontier
+    # write cost is O(round), not O(frontier) — at a 10^10-URL frontier
+    # the "rewrite" mode's full leftover∪admitted overwrite would dwarf
+    # the round's own compute. Iceberg analogue: MERGE with position
+    # deletes + periodic rewrite_position_delete_files/rewrite_data_files.
+    # "rewrite": full overwrite per round (simpler; fine while small).
+    frontier_mode: str = "delta"
+    # Compact when tombstones exceed max(live frontier size, this floor):
+    # read amplification stays ≤2× and each compaction is a full consumed-
+    # growth apart — amortized O(round size) per round.
+    frontier_compact_min: int = 65536
     use_bloom: bool = True
     # Which probabilistic seen-prefilter backs the exact anti-join (the
     # north-rule's "bloom/cuckoo URL-seen"): "bloom" (seen.BloomState,
@@ -432,6 +447,7 @@ class CrawlEngine:
         seen = seen.cache()
         n_seeds = seen.count()
         self.store.stage_overwrite("frontier", frontier)
+        self.store.stage_drop("frontier_consumed")
         self.store.stage_append("seen", seen)
         self.store.stage_overwrite("host_priority", host_priority)
         self.store.stage_overwrite("host_clock", _empty(self.spark, S.HOST_CLOCK))
@@ -487,6 +503,7 @@ class CrawlEngine:
         n_seeds = seen.count()
         store.stage_overwrite("doc_cache", cache)
         store.stage_overwrite("frontier", frontier)
+        store.stage_drop("frontier_consumed")
         store.stage_overwrite("seen", seen)
         store.stage_overwrite("host_priority", host_priority)
         store.stage_overwrite("host_clock", _empty(spark, S.HOST_CLOCK))
@@ -571,7 +588,7 @@ class CrawlEngine:
         scratch: list = []  # this round's checkpoint RDDs, freed at commit
         tk.scratch = scratch
         spark, cfg, store = self.spark, self.cfg, self.store
-        frontier = store.read(spark, "frontier", S.FRONTIER)
+        frontier = self._read_frontier()
         seen = store.read(spark, "seen", S.SEEN)
         content_seen = store.read(spark, "content_seen", S.CONTENT_SEEN)
         host_clock = store.read(spark, "host_clock", S.HOST_CLOCK)
@@ -738,9 +755,11 @@ class CrawlEngine:
         )
         fx = tk.barrier("fetch+extract", fx)
 
-        leftover = frontier.join(
-            selected.select("url_norm"), "url_norm", "left_anti"
-        )
+        delta = cfg.frontier_mode == "delta"
+        if not delta:
+            leftover = frontier.join(
+                selected.select("url_norm"), "url_norm", "left_anti"
+            )
 
         # content dedup + lang filter on GETs
         fetchable = fx.filter(fetch_mask)
@@ -948,10 +967,28 @@ class CrawlEngine:
             .agg(F.count("*").alias("n_rows"))
             .select(F.lit(round_no).alias("round"), "partition_id", "n_rows")
         )
-        tasks = [
-            lambda: store.stage_overwrite(
-                "frontier", leftover.unionByName(new_frontier_rows)
-            ),
+        if delta:
+            # O(round) frontier maintenance: append admitted rows + the
+            # selected keys as tombstones (both read off pinned
+            # checkpoints); the base is never rewritten here.
+            front_tasks = [
+                lambda: store.stage_append("frontier", new_frontier_rows),
+                lambda: store.stage_append(
+                    "frontier_consumed", selected.select("url_norm")
+                ),
+            ]
+        else:
+            front_tasks = [
+                lambda: store.stage_overwrite(
+                    "frontier", leftover.unionByName(new_frontier_rows)
+                ),
+            ]
+            if store.exists("frontier_consumed"):
+                # resuming a delta store in rewrite mode: leftover already
+                # honored the tombstones (it came from _read_frontier), so
+                # the overwrite folds them in — drop the now-stale table
+                store.stage_drop("frontier_consumed")
+        tasks = front_tasks + [
             lambda: store.stage_append("seen", new_seen),
             lambda: store.stage_append(
                 "content_seen",
@@ -1000,6 +1037,14 @@ class CrawlEngine:
             "bloom_shards": prev_meta.get("bloom_shards", 1),
             "seen_filter": prev_meta.get("seen_filter", cfg.seen_filter),
         }
+        if delta:
+            meta["n_frontier_consumed"] = (
+                int(prev_meta.get("n_frontier_consumed", 0)) + n_selected
+            )
+        elif "n_frontier_consumed" in prev_meta:
+            # rewrite mode folded any inherited tombstones into the
+            # overwrite this round (leftover came from _read_frontier)
+            meta["n_frontier_consumed"] = 0
         if "pass" in prev_meta:
             meta["pass"] = prev_meta["pass"]
         store.commit(meta)
@@ -1013,6 +1058,36 @@ class CrawlEngine:
         if tk.on:
             out["timings"] = tk.phases
         return out
+
+    def _read_frontier(self) -> DataFrame:
+        """The LIVE frontier: data dirs minus merge-on-read tombstones.
+        Honors tombstones whenever the store has them (independent of this
+        engine's cfg.frontier_mode, so any engine can resume any store)."""
+        f = self.store.read(self.spark, "frontier", S.FRONTIER)
+        if self.store.exists("frontier_consumed"):
+            cons = self.store.read(
+                self.spark, "frontier_consumed", S.FRONTIER_CONSUMED
+            )
+            f = f.join(cons, "url_norm", "left_anti")
+        return f
+
+    def _compact_frontier(self) -> None:
+        """Fold frontier tombstones back into one base dir (Iceberg
+        rewrite_position_delete_files + rewrite_data_files analogue) once
+        the consumed set outweighs the live frontier. Until then every
+        read pays ≤2× amplification; after, reads are one clean scan and
+        the next compaction is a full consumed-growth away — amortized
+        O(round size) per round. Own commit, meta otherwise unchanged, so
+        resume/trace determinism is unaffected (content-identical)."""
+        meta = dict(self.store.meta)
+        n_cons = int(meta.get("n_frontier_consumed", 0))
+        live = int(meta.get("n_frontier", 0))
+        if n_cons < max(live, self.cfg.frontier_compact_min):
+            return
+        self.store.stage_overwrite("frontier", self._read_frontier())
+        self.store.stage_drop("frontier_consumed")
+        meta["n_frontier_consumed"] = 0
+        self.store.commit(meta)
 
     def _crawled_total(self) -> int:
         return int(self.store.meta.get("n_crawled", 0))
@@ -1052,12 +1127,11 @@ class CrawlEngine:
             if "n_frontier" in self.store.meta:
                 if int(self.store.meta["n_frontier"]) == 0:
                     break  # quiescence (URLSpout.java:133-142)
-            elif self.store.read(
-                self.spark, "frontier", S.FRONTIER
-            ).isEmpty():
+            elif self._read_frontier().isEmpty():
                 break
             r += 1
             last = self.run_round(r)
+            self._compact_frontier()  # cheap meta check; folds tombstones
             if r % 64 == 0:
                 self._compact_tables(r)
             if last["n_selected"] == 0:

@@ -66,6 +66,16 @@ FRONTIER = T.StructType(
     ]
 )
 
+# Merge-on-read tombstones for the delta frontier (CrawlConfig
+# .frontier_mode="delta"): keys of rows a round SELECTED out of the
+# frontier. Live frontier = frontier dirs anti-join this table; a
+# threshold-triggered compaction folds them back in (engine.
+# _compact_frontier). The Iceberg analogue is a position/equality
+# delete file attached to the frontier table's snapshot.
+FRONTIER_CONSUMED = T.StructType(
+    [T.StructField("url_norm", T.StringType(), False)]
+)
+
 SEEN = T.StructType(
     [
         T.StructField("url_norm", T.StringType(), False),

@@ -135,6 +135,14 @@ class SnapshotStore:
         with self._lock:
             self._pending[name] = {"mode": "overwrite", "dirs": [path]}
 
+    def stage_drop(self, name: str) -> None:
+        """Stage truncation of a table: the next manifest simply stops
+        referencing its data dirs (no data is touched — same immutable-dir
+        discipline as overwrite; the Iceberg analogue is a delete-all /
+        truncate snapshot)."""
+        with self._lock:
+            self._pending[name] = {"mode": "overwrite", "dirs": []}
+
     def commit(self, meta: dict | None = None) -> int:
         """Fold pending stages into a new manifest; atomic CURRENT swap."""
         tables = {k: list(v) for k, v in self._tables.items()}
