@@ -52,7 +52,11 @@ def main():
     meta = spark.read.schema(S.PAGE_META).parquet(f"{web}/page_meta.parquet")
     robots = spark.read.schema(S.ROBOTS).parquet(f"{web}/robots.parquet")
     seeds = spark.read.schema(S.SEEDS).parquet(f"{web}/seeds.parquet")
-    eng = CrawlEngine(spark, store, pages, meta, robots, CrawlConfig())
+    # same conf override hook as bench/scaling.py (huge-web profiles need
+    # cache_web=False + scaled bloom_bits)
+    conf_kw = json.loads(os.environ.get("SPARKCRAWL_SCALE_CONF", "{}"))
+    eng = CrawlEngine(spark, store, pages, meta, robots,
+                      CrawlConfig(**conf_kw))
     eng.init_frontier(seeds)
 
     # whole-stage-codegen compile counter (Janino compilation is serial and
