@@ -65,10 +65,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query — every queries() entry has an
-    oracle (simhash/LSH pair generation via md5-keyed variants, multimodal
-    decode via the deterministic payload, centroid cosines via integer
-    quantization of the mean) EXCEPT ann_ivf_kmeans, whose iterative
-    training loop is not a single SQL query (rows-only check; recall and
-    bit-determinism are unit-tested instead)."""
+    """DuckDB-equivalent ANSI SQL per query — EVERY queries() entry has a
+    full value-hash oracle (simhash/LSH pair generation via md5-keyed
+    variants, multimodal decode via the deterministic payload, centroid
+    cosines via integer quantization of the mean, and ann_ivf_kmeans's
+    fixed-4-sweep training loop unrolled as chained CTEs — deterministic
+    by construction, so the hashes must match exactly)."""
     return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

@@ -1238,10 +1238,10 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     deterministic k-means — smallest-id init, rounded-cosine argmax
     assignment, integer-quantized order-free means, fixed 4 sweeps):
     probe the 8 closest of 32 trained cells, exact top-20 within them.
-    No SQL oracle: the iterative training loop is not expressible as a
-    single DuckDB query; the driver records the rows-only check, and the
-    recall-vs-brute-force + determinism guarantees are unit-tested
-    (tests/test_textops_ann.py::test_ivf_kmeans_beats_sign_buckets)."""
+    Every step is deterministic BY CONSTRUCTION (6-dp-rounded cosines,
+    integer-quantized means), which is what makes the training loop
+    SQL-expressible: the oracle (Q_ANN_IVF_KMEANS_SQL) unrolls the fixed
+    4 sweeps as chained CTEs and must hash-match exactly."""
     e = _t(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
@@ -1250,6 +1250,89 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return annsearch.ivf_topk_kmeans(
         e, qvec, k=20, nprobe=8, k_cells=32, iters=4
     )
+
+
+def _kmeans_sweep_sql(i: int) -> str:
+    """One unrolled k-means sweep as DuckDB CTEs: a{i} assigns every
+    vector to its argmax-rounded-cosine cell of c{i-1} (ties -> smallest
+    cell, degenerate cosine -> -2 — assign_cells semantics); c{i} is the
+    integer-quantized mean per cell with empty cells keeping their
+    previous centroid (kmeans_cells semantics)."""
+    return f"""
+a{i} AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT d.vec_id, d.e, c.cell,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY coalesce(round(
+               list_dot_product(d.e, c.centroid) /
+               (sqrt(list_dot_product(d.e, d.e)) *
+                sqrt(list_dot_product(c.centroid, c.centroid))), 6), -2.0)
+               DESC, c.cell ASC
+           ) AS rn
+    FROM d, c{i - 1} c) t
+  WHERE rn = 1
+),
+c{i} AS (
+  SELECT p.cell, coalesce(u.centroid, p.centroid) AS centroid
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cell,
+           list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY dim)
+             AS centroid
+    FROM (
+      SELECT cell, dd.d AS dim,
+             SUM(CAST(round(e[dd.d] * 1000000.0) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM a{i}, (SELECT unnest(range(1, 65)) AS d) dd
+      GROUP BY cell, dd.d) m
+    GROUP BY cell) u USING (cell)
+)"""
+
+
+# the fixed-4-sweep training loop, unrolled (see q_ann_ivf_kmeans)
+Q_ANN_IVF_KMEANS_SQL = ("""
+WITH d AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT e AS qv FROM d WHERE vec_id = 0),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         e AS centroid
+  FROM (SELECT vec_id, e FROM d ORDER BY vec_id LIMIT 32)
+),""" + ",".join(_kmeans_sweep_sql(i) for i in range(1, 5)) + """,
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT d.vec_id, d.e, c.cell,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY coalesce(round(
+               list_dot_product(d.e, c.centroid) /
+               (sqrt(list_dot_product(d.e, d.e)) *
+                sqrt(list_dot_product(c.centroid, c.centroid))), 6), -2.0)
+               DESC, c.cell ASC
+           ) AS rn
+    FROM d, c4 c) t
+  WHERE rn = 1
+),
+probed AS (
+  SELECT cell
+  FROM c4, q
+  ORDER BY coalesce(round(list_dot_product(centroid, q.qv) /
+             (sqrt(list_dot_product(centroid, centroid)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6), -2.0) DESC,
+           cell ASC
+  LIMIT 8
+)
+SELECT a.vec_id AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+       round(list_dot_product(a.e, q.qv) /
+             (sqrt(list_dot_product(a.e, a.e)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM assigned a JOIN probed USING (cell), q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 20
+""")
 
 
 def q_url_admission_distributed(spark, sf_dir):
@@ -1409,7 +1492,7 @@ QUERIES = {
     # no SQL oracle: iterative k-means training is not a single DuckDB
     # query; driver records rows-only, guarantees unit-tested (recall +
     # bit-determinism, test_ivf_kmeans_beats_sign_buckets)
-    "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, Q_ANN_IVF_KMEANS_SQL),
     "embedding_near_dup": (q_embedding_near_dup, Q_EMBEDDING_NEAR_DUP_SQL),
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "quality": (q_quality, Q_QUALITY_SQL),
