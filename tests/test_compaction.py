@@ -50,3 +50,23 @@ def test_compact_skips_small_tables(spark, tmp_path):
     store.stage_append("t", spark.createDataFrame([(1, "a")], SCHEMA))
     store.commit({"round": 0})
     assert not store.compact(spark, "t", SCHEMA, min_dirs=16)
+
+
+def test_stage_drop_truncates_atomically(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "store3"))
+    store.stage_append("t", spark.createDataFrame([(1, "a")], SCHEMA))
+    store.commit({"round": 0})
+    # staged but uncommitted: reads still see the old state
+    store.stage_drop("t")
+    assert store.exists("t")
+    assert store.read(spark, "t", SCHEMA).count() == 1
+    store.commit({"round": 1})
+    assert not store.exists("t")
+    assert store.read(spark, "t", SCHEMA).count() == 0
+    # resume sees the truncation; re-appending works
+    store2 = SnapshotStore(str(tmp_path / "store3"))
+    assert not store2.exists("t")
+    store2.stage_append("t", spark.createDataFrame([(2, "b")], SCHEMA))
+    store2.commit({"round": 2})
+    assert [(r["k"], r["v"]) for r in
+            store2.read(spark, "t", SCHEMA).collect()] == [(2, "b")]
