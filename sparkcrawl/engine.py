@@ -133,18 +133,54 @@ def attach_rank(
     order_cols) and ``offsets`` the cumulative row counts of the preceding
     partitions. The window partitions by _pid — never an empty partitionBy,
     so no stage funnels the frame through one task (plan-guarded in
-    tests/test_plans.py). Drops _pid."""
+    tests/test_plans.py). Drops _pid.
+
+    Codegen-cache note: ``base`` is folded INTO the map values (driver-side
+    arithmetic), never emitted as a scalar literal. Scalar int/long literals
+    are inlined into generated Java, so a round-varying base would force a
+    Janino recompile of this stage every round; the literal map instead
+    constant-folds to a complex-type Literal that codegen passes by
+    reference — same generated source every round, varying data (measured:
+    the round-varying-literal recompiles were 20-25% of small-round wall).
+    Every _pid present in ``d`` has an offsets entry by construction (the
+    offsets come from counting d itself), so the lit(0) fallback only
+    matters for the empty-frame case where no seq value materializes."""
     if offsets:
         kv = []
         for pid, ofs in offsets.items():
-            kv.extend([F.lit(pid), F.lit(ofs)])
+            kv.extend([F.lit(pid), F.lit(base + ofs)])
         off = F.coalesce(F.create_map(*kv)[F.col("_pid")], F.lit(0))
     else:
         off = F.lit(0)
     w = W.partitionBy("_pid").orderBy(*order_cols)
     return d.withColumn(
-        col, F.lit(base) + off + F.row_number().over(w)
+        col, (off + F.row_number().over(w)).cast("long")
     ).drop("_pid")
+
+
+def round_params(spark: SparkSession, round_no: int) -> DataFrame:
+    """One-row (p_round int) frame carrying this round's number as DATA.
+
+    Scalar int literals are inlined into whole-stage-generated Java, so a
+    plan embedding ``F.lit(round_no)`` recompiles (Janino) every round —
+    measured at ~185 compiles x ~6.5 ms = 20-25% of every small round.
+    Joining the scalar in as a broadcast column keeps the generated source
+    byte-identical across rounds (codegen cache hits); only the broadcast
+    DATA varies. bench/profile_round.py reports compiles/round."""
+    return spark.createDataFrame([(round_no,)], "p_round int")
+
+
+def with_round(df: DataFrame, params: DataFrame) -> DataFrame:
+    """Attach the params row to every row of df via a constant-key
+    BROADCAST HASH join (1-row build side). A crossJoin would plan as
+    BroadcastNestedLoopJoin, which is not whole-stage-codegen'd and would
+    split the fused data-plane stage; the constant-key BHJ stays inside
+    the codegen span and preserves the stream side's partitioning."""
+    return (
+        df.withColumn("_one", F.lit(1))
+        .join(F.broadcast(params.withColumn("_one", F.lit(1))), "_one")
+        .drop("_one")
+    )
 
 
 def dense_seq(
@@ -588,7 +624,13 @@ class CrawlEngine:
         scratch: list = []  # this round's checkpoint RDDs, freed at commit
         tk.scratch = scratch
         spark, cfg, store = self.spark, self.cfg, self.store
-        frontier = self._read_frontier()
+        # Round scalars ride a broadcast one-row column (p_round), never a
+        # scalar literal: inlined int literals defeat the whole-stage-codegen
+        # cache, recompiling ~185 stages every round (see round_params).
+        # frontier_raw (no p_round) feeds the rewrite-mode leftover so the
+        # persisted frontier schema is unchanged.
+        frontier_raw = self._read_frontier()
+        frontier = with_round(frontier_raw, round_params(spark, round_no))
         seen = store.read(spark, "seen", S.SEEN)
         content_seen = store.read(spark, "content_seen", S.CONTENT_SEEN)
         host_clock = store.read(spark, "host_clock", S.HOST_CLOCK)
@@ -604,6 +646,7 @@ class CrawlEngine:
         eligible = politeness.eligible_hosts_filter(
             frontier, self.host_rules, host_clock, round_no,
             hint_broadcast=cfg.broadcast_host_state,
+            round_col="p_round",
         )
         # localCheckpoint (not cache): materializes AND truncates lineage, so
         # every downstream plan this round is analyzed from a memory scan
@@ -757,7 +800,7 @@ class CrawlEngine:
 
         delta = cfg.frontier_mode == "delta"
         if not delta:
-            leftover = frontier.join(
+            leftover = frontier_raw.join(
                 selected.select("url_norm"), "url_norm", "left_anti"
             )
 
@@ -807,12 +850,14 @@ class CrawlEngine:
 
         # 6. candidate links: outlinks of stored pages + redirect targets
         links = linkers.select(
+            "p_round",
             F.col("seq").alias("parent_seq"),
             F.col("url_norm").alias("base_url"),
             F.col("depth").alias("parent_depth"),
             F.posexplode_outer("ex_links").alias("link_idx", "href"),
         ).filter(F.col("href").isNotNull())
         redirects = fx.filter(F.col("_pre") == "redirect").select(
+            "p_round",
             F.col("seq").alias("parent_seq"),
             F.col("url_norm").alias("base_url"),
             F.col("depth").alias("parent_depth"),
@@ -868,8 +913,11 @@ class CrawlEngine:
         n_tr = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         traced = (
             fx.filter(~F.col("_pre").isin("get", "not_modified"))
-            .select("seq", "url_norm", "host", F.col("_pre").alias("action"))
-            .unionByName(got.select("seq", "url_norm", "host", "action"))
+            .select("p_round", "seq", "url_norm", "host",
+                    F.col("_pre").alias("action"))
+            .unionByName(
+                got.select("p_round", "seq", "url_norm", "host", "action")
+            )
             .repartitionByRange(n_tr, F.col("seq"))
             .withColumn("_pid", F.spark_partition_id())
         ).localCheckpoint(eager=False)
@@ -930,12 +978,12 @@ class CrawlEngine:
         new_frontier_rows = new_rows.select(
             "url_norm", "host", "path",
             (F.col("parent_depth") + 1).alias("depth"),
-            "seq", F.lit(round_no).alias("round_added"),
+            "seq", F.col("p_round").alias("round_added"),
         )
         new_seen = new_rows.select(
             "url_norm",
             F.xxhash64("url_norm").alias("url_hash"),
-            F.lit(round_no).alias("round_added"),
+            F.col("p_round").alias("round_added"),
         )
         # content_seen gains the hash of every dedup WINNER not already there
         # (the reference's get-or-put inserts on first sight even when the
@@ -946,9 +994,9 @@ class CrawlEngine:
         # host clock: a GET happened for actions {fetched,dup_content,
         # not_html_lang} (lastCrawled set at GET — XPathCrawler.java:162-164)
         # and a 304 HEAD also updates it (CrawlerBolt.java:479)
-        got_hosts = got.select("host").distinct().withColumn(
-            "last_round", F.lit(round_no)
-        )
+        got_hosts = got.select(
+            "host", F.col("p_round").alias("last_round")
+        ).distinct()  # p_round is constant, so this is distinct-by-host
         new_clock = host_clock.join(
             got_hosts.select("host"), "host", "left_anti"
         ).unionByName(got_hosts)
@@ -958,14 +1006,17 @@ class CrawlEngine:
         trace = attach_rank(
             traced, tr_offsets, ["seq"], col="ord"
         ).select(
-            F.lit(round_no).alias("round"),
+            F.col("p_round").alias("round"),
             F.col("ord").cast("int").alias("ord"),
             "url_norm", "host", "action",
         )
         lineage = (
-            got.groupBy(F.spark_partition_id().alias("partition_id"))
+            got.groupBy(
+                F.spark_partition_id().alias("partition_id"),
+                F.col("p_round").alias("round"),  # constant per round
+            )
             .agg(F.count("*").alias("n_rows"))
-            .select(F.lit(round_no).alias("round"), "partition_id", "n_rows")
+            .select("round", "partition_id", "n_rows")
         )
         if delta:
             # O(round) frontier maintenance: append admitted rows + the
@@ -999,7 +1050,7 @@ class CrawlEngine:
             lambda: store.stage_append(
                 "crawled",
                 fetched.select(
-                    "url_norm", "host", F.lit(round_no).alias("round"),
+                    "url_norm", "host", F.col("p_round").alias("round"),
                     "content_hash", F.col("ex_text").alias("text"),
                     F.col("ex_lang").alias("lang"), "warc_ts",
                 ),

@@ -56,12 +56,19 @@ def eligible_hosts_filter(
     host_clock: DataFrame,
     round_no: int,
     hint_broadcast: bool = True,
+    round_col: str | None = None,
 ) -> DataFrame:
     """Drop rows of hosts still inside their crawl-delay window.
 
     delay is in ROUNDS (1 round == 1 virtual second, SURVEY §2.3 R3):
     a host fetched in round r with delay d is eligible again at r + d.
     Hosts with no delay (or never fetched) are always eligible.
+
+    ``round_col``: name of a column of ``frontier`` carrying the round
+    number as data (engine.with_round). The engine passes it so the gate's
+    generated code is round-invariant — an inlined ``F.lit(round_no)``
+    would force a whole-stage recompile every round. One-shot callers
+    (queries, tests) can keep passing the int.
 
     Scale note: only hosts that HAVE a crawl-delay rule can ever be
     deferred, so both broadcasts are pruned to that subset — the clock
@@ -80,10 +87,11 @@ def eligible_hosts_filter(
     f = frontier.join(_b(delayed), "host", "left").join(
         _b(clock_rel), "host", "left"
     )
+    rnd = F.col(round_col) if round_col else F.lit(round_no)
     ok = (
         F.col("crawl_delay").isNull()
         | F.col("last_round").isNull()
-        | (F.lit(round_no) - F.col("last_round") >= F.col("crawl_delay"))
+        | (rnd - F.col("last_round") >= F.col("crawl_delay"))
     )
     return f.filter(ok).drop("crawl_delay", "last_round")
 

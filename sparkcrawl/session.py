@@ -55,6 +55,14 @@ def get_spark(
         .config("spark.cleaner.periodicGC.interval",
                 os.environ.get("SPARKCRAWL_GC_INTERVAL", "45s"))
         .config("spark.ui.enabled", "false")
+        # One crawl round compiles ~190 whole-stage codegen sources; the
+        # Janino class cache holds 100 entries by default (static conf), so
+        # every round evicted the previous round's classes and recompiled
+        # them all even when the generated source is round-invariant (the
+        # engine keeps it invariant: round scalars ride broadcast columns —
+        # engine.round_params). Sizing the cache to hold several rounds of
+        # distinct stages makes steady-state rounds compile ~nothing.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # single-JVM local mode: every task is PROCESS_LOCAL, so waiting
         # for "better" locality only delays launches when concurrent jobs
