@@ -24,11 +24,12 @@ overflow lands in a (shard, fp) stash checked by membership.
 
 Sharding mirrors BloomState: shard = url_hash mod B, co-partitioned with the
 seen table's bucket(url_hash) layout, one immutable file per shard, so at
-10^10 URLs each executor loads only its buckets' shards. Locally every code
-path still goes through the per-shard addressing. Insert/delete deltas are
-per-round admitted sets (small relative to the table); locally they collect
-to the driver via Arrow — at scale the same numpy kernels run executor-side
-per shard, since a shard's delta is exactly one url-hash bucket's rows.
+10^10 URLs each executor loads only its buckets' shards. The engine uses
+CuckooFileState (below): insert/delete deltas are grouped by shard and each
+shard's merge runs the same numpy kernels INSIDE its executor task — the
+driver never materializes the table. The in-memory CuckooState remains the
+kernel implementation (a shard merge is a single-shard CuckooState) and the
+unit-test surface.
 
 Reference parity: same role as seen.BloomState — the D4 get-or-put
 (URLFilterBolt.java:107-120) short-circuit; exactness still comes from the
@@ -42,7 +43,7 @@ import os
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import col, pandas_udf
 
 SLOTS = 4
 FP_BITS = 16
@@ -287,4 +288,184 @@ class CuckooState:
         sp = os.path.join(path, "stash.bin")
         if os.path.exists(sp):
             c.stash = set(np.fromfile(sp, dtype=np.int64).tolist())
+        else:
+            # per-shard stash sidecars (CuckooFileState layout)
+            for s in range(shards):
+                fp = os.path.join(path, f"stash-{s:04d}.bin")
+                if os.path.exists(fp):
+                    for v in np.fromfile(fp, dtype=np.int64).tolist():
+                        c.stash.add((s << 16) | int(v))
         return c
+
+
+class CuckooFileState:
+    """Sharded cuckoo filter maintained EXECUTOR-SIDE — the deletable
+    counterpart of seen.BloomFileState (see that module's section comment
+    for the architecture: one immutable file per shard, per-shard merges run
+    inside executor tasks via groupBy(shard).applyInPandas, the driver never
+    materializes the table, membership lazy-loads only the shard slices a
+    task touches, memoized per worker).
+
+    File layout: ``shard-XXXX.bin`` (the shard's uint16 fp-table slice,
+    byte-identical to CuckooState.save) plus ``stash-XXXX.bin`` (int64
+    fingerprints that overflowed that shard's kick loop) — the per-shard
+    split of CuckooState's global ``stash.bin``, so each shard's merge task
+    owns ALL of its state. CuckooState.load reads either layout; load()
+    here migrates a legacy global stash.bin into the per-shard files once
+    (driver-side, tiny)."""
+
+    def __init__(self, path: str, n_bits: int, shards: int = 1):
+        total_buckets = n_bits // (FP_BITS * SLOTS)
+        sb = total_buckets // shards
+        assert sb >= 1 and (sb & (sb - 1)) == 0, (
+            "buckets per shard must be a power of two "
+            f"(n_bits={n_bits}, shards={shards} -> {sb})"
+        )
+        import uuid as _uuid
+
+        self.path = path
+        self.n_bits = n_bits
+        self.shards = shards
+        self.sb = sb
+        self._ver = _uuid.uuid4().hex[:12]
+
+    @classmethod
+    def create(cls, path: str, n_bits: int, shards: int = 1):
+        """Initialize an EMPTY filter at path (wipes any previous one)."""
+        import shutil
+
+        from sparkcrawl.seen import _atomic_write
+
+        c = cls(path, n_bits, shards)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+        os.makedirs(path)
+        zero = np.zeros(c.sb * SLOTS, dtype=np.uint16).tobytes()
+        for s in range(shards):
+            _atomic_write(os.path.join(path, f"shard-{s:04d}.bin"), zero)
+            _atomic_write(os.path.join(path, f"stash-{s:04d}.bin"), b"")
+        return c
+
+    @classmethod
+    def load(cls, path: str, n_bits: int, shards: int = 1):
+        """Open an existing filter; driver reads nothing but a legacy
+        global stash.bin (migrated once into the per-shard sidecars)."""
+        from sparkcrawl.seen import _atomic_write
+
+        c = cls(path, n_bits, shards)
+        nb = c.sb * SLOTS * 2  # uint16 bytes
+        for s in range(shards):
+            f = os.path.join(path, f"shard-{s:04d}.bin")
+            assert os.path.getsize(f) == nb, f"cuckoo shard {s} size mismatch"
+        legacy = os.path.join(path, "stash.bin")
+        if os.path.exists(legacy):
+            keys = np.fromfile(legacy, dtype=np.int64)
+            for s in range(shards):
+                fps = keys[(keys >> 16) == s] & 0xFFFF
+                _atomic_write(
+                    os.path.join(path, f"stash-{s:04d}.bin"),
+                    np.sort(fps).astype(np.int64).tobytes(),
+                )
+            os.remove(legacy)
+        else:
+            for s in range(shards):
+                f = os.path.join(path, f"stash-{s:04d}.bin")
+                if not os.path.exists(f):
+                    _atomic_write(f, b"")
+        return c
+
+    # ---- per-shard merge machinery ----
+
+    def _shard_state(self, s: int) -> CuckooState:
+        """Materialize ONE shard as a single-shard in-memory CuckooState
+        (identical geometry: fp/bucket derivation is shard-independent, and
+        a shard-local stash key is just the fingerprint)."""
+        local = CuckooState(self.n_bits // self.shards, shards=1)
+        local.table = np.array(CuckooState.load_shard(self.path, s))
+        local.occ = (
+            local.table.reshape(-1, SLOTS) != 0
+        ).sum(axis=1).astype(np.uint8)
+        sp = os.path.join(self.path, f"stash-{s:04d}.bin")
+        if os.path.exists(sp):
+            local.stash = set(np.fromfile(sp, dtype=np.int64).tolist())
+        return local
+
+    def _apply_per_shard(self, df: DataFrame, op: str) -> None:
+        from sparkcrawl.seen import _atomic_write, shard_udf
+
+        path, n_bits, shards = self.path, self.n_bits, self.shards
+        me = CuckooFileState  # rebind for the closure (self not shipped)
+
+        def _merge(key, pdf):
+            s = int(key[0])
+            hs = pdf["url_hash"].to_numpy(dtype=np.int64)
+            local = me(path, n_bits, shards)._shard_state(s)
+            if op == "add":
+                local.add_hashes(hs)
+            else:
+                local.delete_hashes(hs)
+            _atomic_write(
+                os.path.join(path, f"shard-{s:04d}.bin"),
+                local.table.tobytes(),
+            )
+            stash = np.fromiter(
+                sorted(local.stash), dtype=np.int64, count=len(local.stash)
+            )
+            _atomic_write(
+                os.path.join(path, f"stash-{s:04d}.bin"), stash.tobytes()
+            )
+            return pd.DataFrame({"shard": [s], "n": [hs.size]})
+
+        (
+            df.select("url_hash")
+            .withColumn("_shard", shard_udf(shards)(col("url_hash")))
+            .groupBy("_shard")
+            .applyInPandas(_merge, "shard int, n long")
+            .collect()
+        )
+        import uuid as _uuid
+
+        self._ver = _uuid.uuid4().hex[:12]
+
+    def add_hashes_df(self, df: DataFrame) -> None:
+        self._apply_per_shard(df, "add")
+
+    def delete_hashes_df(self, df: DataFrame) -> None:
+        self._apply_per_shard(df, "delete")
+
+    def hit_udf(self):
+        """pandas UDF: url_hash -> bool. Lazy per-shard table+stash loads,
+        memoized per worker (seen._cached_shard)."""
+        from sparkcrawl.seen import _cached_shard
+
+        path, shards, sb, ver = self.path, self.shards, self.sb, self._ver
+
+        @pandas_udf("boolean")
+        def _hit(h: pd.Series) -> pd.Series:
+            hv = h.to_numpy(dtype=np.int64)
+            shard, fp, b1, b2 = _derive(hv, shards, sb)
+            out = np.zeros(hv.size, dtype=bool)
+            for s in np.unique(shard):
+                t = _cached_shard(
+                    path, "shard", int(s), ver, np.uint16
+                ).reshape(-1, SLOTS)
+                stash = _cached_shard(path, "stash", int(s), ver, np.int64)
+                m = shard == s
+                f = fp[m]
+                hit = (t[b1[m]] == f[:, None]).any(1) | (
+                    t[b2[m]] == f[:, None]
+                ).any(1)
+                if stash.size:
+                    hit |= np.isin(f.astype(np.int64), stash)
+                out[m] = hit
+            return pd.Series(out)
+
+        return _hit
+
+    def save(self, path: str) -> None:
+        """No-op — every merge already replaced the shard files in place."""
+        assert path == self.path, "file-backed filter is bound to its path"
+
+    load_shard = staticmethod(CuckooState.load_shard)  # same layout

@@ -382,16 +382,29 @@ class CrawlEngine:
         return str(self.store.meta.get("seen_filter", self.cfg.seen_filter))
 
     def _new_seen_filter(self):
-        if self.cfg.seen_filter == "cuckoo":
-            return cuckoomod.CuckooState(
-                self.cfg.bloom_bits, self.cfg.bloom_shards
+        """A FRESH (empty) seen filter. File-backed by default: per-shard
+        state lives only as files under the store root and every per-round
+        merge runs executor-side (seen.BloomFileState / cuckoo
+        .CuckooFileState) — the driver never holds a bitmap, removing the
+        last driver-centralized hop in the loop at 10^10-URL scale. The
+        single-shard Bloom keeps the legacy driver-resident state (its flat
+        bloom.bin layout predates the shard files)."""
+        kind = self.cfg.seen_filter
+        path = self._bloom_path(kind)
+        if kind == "cuckoo":
+            return cuckoomod.CuckooFileState.create(
+                path, self.cfg.bloom_bits, self.cfg.bloom_shards
+            )
+        if self.cfg.bloom_shards > 1:
+            return seenmod.BloomFileState.create(
+                path, self.cfg.bloom_bits, self.cfg.bloom_shards
             )
         return seenmod.BloomState(self.cfg.bloom_bits, self.cfg.bloom_shards)
 
-    def _bloom_path(self) -> str:
+    def _bloom_path(self, kind: str | None = None) -> str:
         import os
 
-        if self._filter_kind() == "cuckoo":
+        if (kind or self._filter_kind()) == "cuckoo":
             return os.path.join(self.store.root, "cuckoo")
         # sharded layout is a directory of per-shard files; the single-
         # shard legacy layout stays a flat file (resume-compatible)
@@ -410,10 +423,12 @@ class CrawlEngine:
         path = self._bloom_path()
         n_bits = int(self.store.meta.get("bloom_bits", self.cfg.bloom_bits))
         n_shards = int(self.store.meta.get("bloom_shards", 1))
-        cls = (
-            cuckoomod.CuckooState
-            if self._filter_kind() == "cuckoo" else seenmod.BloomState
-        )
+        if self._filter_kind() == "cuckoo":
+            cls = cuckoomod.CuckooFileState
+        elif os.path.isdir(path):
+            cls = seenmod.BloomFileState  # sharded dir layout
+        else:
+            cls = seenmod.BloomState  # legacy flat bloom.bin
         if os.path.exists(path) and self.store.committed_round >= 0:
             self._bloom = cls.load(path, n_bits, n_shards)
         else:

@@ -85,10 +85,10 @@ def _partition_bitmaps(df: DataFrame, shards: int, shard_bits: int,
 
 
 def _or_collect(bitmaps: DataFrame, n_bytes: int) -> np.ndarray:
-    """Collect per-partition bitmaps and OR them on the driver. Volume is
-    (#non-empty partitions x n_bytes) — MBs locally. At 10^10-URL scale the
-    sharded layout replaces this hop entirely: each executor ORs only its
-    url-hash buckets' shard slices (see BloomState scale notes)."""
+    """Collect per-partition bitmaps and OR them on the driver. Only the
+    DRIVER-RESIDENT states use this (the one-shot anti_join_seen query path
+    and the legacy single-shard BloomState); the engine's default filter is
+    BloomFileState, whose merges run executor-side with no driver OR."""
     acc = np.zeros(n_bytes, dtype=np.uint8)
     for r in bitmaps.collect():
         np.bitwise_or(acc, np.frombuffer(r["bm"], dtype=np.uint8), out=acc)
@@ -117,8 +117,12 @@ def bloom_hit_udf(bitmap: bytes, n_bits: int):
 
 
 class BloomState:
-    """Incrementally-maintained broadcast Bloom filter over seen url_hashes,
-    SHARDED by pmod(url_hash, B).
+    """Incrementally-maintained DRIVER-RESIDENT Bloom filter over seen
+    url_hashes, SHARDED by pmod(url_hash, B). The engine only uses this for
+    the legacy single-shard (flat bloom.bin) layout; sharded stores use
+    BloomFileState below, which shares this class's exact file layout and
+    bit addressing but merges executor-side. Kept as the in-memory kernel
+    and unit-test surface.
 
     The engine ORs each round's ADMITTED hashes into the bitmap (one
     vectorized pass over the small delta), instead of rebuilding from the
@@ -212,8 +216,179 @@ class BloomState:
         return b
 
 
+# ---- executor-side sharded filter maintenance ------------------------------
+#
+# The engine's default seen-filter path. BloomState above keeps the bitmap on
+# the DRIVER and funnels every per-round delta through a collect+OR hop — the
+# last driver-centralized step in the loop at 10^10-URL scale. The file-backed
+# state below removes it: the filter lives ONLY as one immutable file per
+# shard (shard = url_hash mod B, the same addressing/bit layout as BloomState,
+# so stores persisted by either are interchangeable); each round's delta is
+# grouped by shard and every shard's merge (read slice -> OR delta -> atomic
+# replace) runs INSIDE its executor task. The driver never materializes a
+# bitmap — it only bumps a version token. Membership (hit_udf) lazy-loads
+# exactly the shard slices a task's rows touch, memoized per python worker:
+# locally all B slices end up resident; on a cluster whose candidate stream is
+# bucketed by url_hash an executor only ever loads its buckets' shards. At
+# scale ``path`` is shared storage (the same volume the snapshot store uses).
+
+
+_SHARD_CACHE: dict = {}  # (path, kind, shard) -> (version, ndarray)
+
+
+def _cached_shard(path: str, kind: str, s: int, ver: str, dtype):
+    """Worker-side memoized read of one shard file. Python workers are
+    reused across tasks/rounds, so entries are versioned: the driver bumps
+    ``ver`` after every merge and stale entries are replaced on next use."""
+    import os
+
+    key = (path, kind, s)
+    ent = _SHARD_CACHE.get(key)
+    if ent is None or ent[0] != ver:
+        arr = np.fromfile(
+            os.path.join(path, f"{kind}-{s:04d}.bin"), dtype=dtype
+        )
+        _SHARD_CACHE[key] = (ver, arr)
+        return arr
+    return ent[1]
+
+
+def _atomic_write(fname: str, data: bytes) -> None:
+    """Write-then-rename so concurrent readers never see a torn file."""
+    import os
+    import uuid as _uuid
+
+    tmp = f"{fname}.tmp-{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, fname)
+
+
+def shard_udf(shards: int):
+    """pandas UDF: url_hash -> shard (uint64 arithmetic, the SAME mod the
+    numpy kernels use — pmod on the signed int64 would disagree for
+    non-power-of-two B)."""
+
+    @pandas_udf("int")
+    def _s(h: pd.Series) -> pd.Series:
+        hv = h.to_numpy(dtype=np.int64).astype(np.uint64)
+        return pd.Series((hv % np.uint64(shards)).astype(np.int32))
+
+    return _s
+
+
+class BloomFileState:
+    """Sharded seen-Bloom maintained EXECUTOR-SIDE (see section comment).
+
+    Same file layout, shard addressing, and k-fold bit scheme as
+    BloomState.save/load — a store written by either opens with the other.
+    save() is a no-op: every merge already left the filter durable."""
+
+    def __init__(self, path: str, n_bits: int, shards: int):
+        import uuid as _uuid
+
+        assert n_bits % (shards * 8) == 0, "shards must byte-align the bitmap"
+        self.path = path
+        self.n_bits = n_bits
+        self.shards = shards
+        self.shard_bits = n_bits // shards
+        self._ver = _uuid.uuid4().hex[:12]
+
+    @classmethod
+    def create(cls, path: str, n_bits: int, shards: int) -> "BloomFileState":
+        """Initialize an EMPTY filter at path (wipes any previous one)."""
+        import os
+        import shutil
+
+        b = cls(path, n_bits, shards)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+        os.makedirs(path)
+        zero = np.zeros(b.shard_bits // 8, dtype=np.uint8).tobytes()
+        for s in range(shards):
+            _atomic_write(os.path.join(path, f"shard-{s:04d}.bin"), zero)
+        return b
+
+    @classmethod
+    def load(cls, path: str, n_bits: int, shards: int) -> "BloomFileState":
+        """Open an existing filter — reads NOTHING on the driver (shard
+        slices load lazily in the workers that touch them)."""
+        import os
+
+        b = cls(path, n_bits, shards)
+        nb = b.shard_bits // 8
+        for s in range(shards):
+            f = os.path.join(path, f"shard-{s:04d}.bin")
+            assert os.path.getsize(f) == nb, f"bloom shard {s} size mismatch"
+        return b
+
+    def add_hashes_df(self, df: DataFrame) -> None:
+        """Merge the url_hash column into the filter, one executor task per
+        shard: groupBy(shard).applyInPandas guarantees a shard's file has
+        exactly ONE writer, which reads the current slice, ORs the delta in
+        two vectorized passes, and atomically replaces the file. Only
+        (shard, n) counter rows ever reach the driver."""
+        import uuid as _uuid
+
+        path, shard_bits = self.path, self.shard_bits
+
+        def _merge(key, pdf):
+            import os
+
+            s = int(key[0])
+            hs = pdf["url_hash"].to_numpy(dtype=np.int64)
+            f = os.path.join(path, f"shard-{s:04d}.bin")
+            arr = np.fromfile(f, dtype=np.uint8)
+            idx = _indices(hs, shard_bits).ravel()
+            np.bitwise_or.at(
+                arr, idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+            )
+            _atomic_write(f, arr.tobytes())
+            return pd.DataFrame({"shard": [s], "n": [hs.size]})
+
+        (
+            df.select("url_hash")
+            .withColumn("_shard", shard_udf(self.shards)(F.col("url_hash")))
+            .groupBy("_shard")
+            .applyInPandas(_merge, "shard int, n long")
+            .collect()
+        )
+        self._ver = _uuid.uuid4().hex[:12]
+
+    def hit_udf(self):
+        """pandas UDF: url_hash -> bool (True = maybe seen). Loads only the
+        shard slices present in the batch, memoized per worker process."""
+        path, shards, shard_bits, ver = (
+            self.path, self.shards, self.shard_bits, self._ver
+        )
+
+        @pandas_udf("boolean")
+        def _hit(h: pd.Series) -> pd.Series:
+            hv = h.to_numpy(dtype=np.int64)
+            sh = (hv.astype(np.uint64) % np.uint64(shards)).astype(np.int64)
+            out = np.zeros(hv.size, dtype=bool)
+            for s in np.unique(sh):
+                arr = _cached_shard(path, "shard", int(s), ver, np.uint8)
+                m = sh == s
+                idx = _indices(hv[m], shard_bits)
+                bits = (arr[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+                out[m] = bits.all(axis=0)
+            return pd.Series(out)
+
+        return _hit
+
+    def save(self, path: str) -> None:
+        """No-op: every merge already replaced the shard files in place.
+        Kept for interface parity with the driver-resident states."""
+        assert path == self.path, "file-backed filter is bound to its path"
+
+    load_shard = staticmethod(BloomState.load_shard)  # same layout
+
+
 def anti_join_with_bloom(candidates: DataFrame, seen: DataFrame,
-                         bloom: BloomState) -> DataFrame:
+                         bloom) -> DataFrame:
     """Exact anti-join with the incremental Bloom as prefilter (see
     anti_join_seen for the exactness argument)."""
     cand = candidates.withColumn("url_hash", F.xxhash64("url_norm"))

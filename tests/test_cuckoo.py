@@ -10,6 +10,8 @@ import pytest
 from conftest import load_inputs
 from oracle import run_oracle
 
+from pyspark.sql import functions as F
+
 from sparkcrawl import schema as S
 from sparkcrawl.cuckoo import SLOTS, CuckooState
 from sparkcrawl.engine import CrawlConfig, CrawlEngine
@@ -152,3 +154,74 @@ def test_engine_cuckoo_resume_identical(spark, fixtures, fixture_paths,
     trace, seen = _collect(spark, store)
     assert seen == oracle_result.seen
     assert trace == oracle_result.trace
+
+
+def test_cuckoo_file_state_matches_memory(spark, tmp_path):
+    """CuckooFileState: executor-side per-shard add/delete produce the
+    same membership answers as the in-memory kernel; files persist across
+    reopen; save() is a no-op; driver holds no table."""
+    import numpy as np
+
+    from sparkcrawl.cuckoo import CuckooFileState
+
+    def mk(a, b):
+        return spark.range(a, b).select(
+            F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash")
+        )
+
+    bits, shards = 1 << 20, 4
+    path = str(tmp_path / "cfile")
+    cf = CuckooFileState.create(path, bits, shards)
+    cf.add_hashes_df(mk(0, 4_000))
+    cf.add_hashes_df(mk(4_000, 6_000))
+    cf.delete_hashes_df(mk(0, 1_000))
+    assert not hasattr(cf, "table")  # nothing driver-resident
+    cf.save(path)  # no-op
+
+    cm = CuckooState(bits, shards)
+    h_all = (
+        mk(0, 6_000).toPandas()["url_hash"].to_numpy(dtype=np.int64)
+    )
+    cm.add_hashes(h_all[:4_000])
+    cm.add_hashes(h_all[4_000:])
+    cm.delete_hashes(h_all[:1_000])
+
+    probe = mk(0, 7_000)  # includes 1k deleted + 1k never-added
+    cf2 = CuckooFileState.load(path, bits, shards)  # reopen
+    got = {
+        r["url_hash"]: r["hit"]
+        for r in probe.withColumn(
+            "hit", cf2.hit_udf()(F.col("url_hash"))
+        ).collect()
+    }
+    hp = probe.toPandas()["url_hash"].to_numpy(dtype=np.int64)
+    want = cm._contains(*_cf_derive(cm, hp))
+    assert [got[int(h)] for h in hp] == want.tolist()
+    # deleted keys no longer hit; present keys all hit (no false negatives)
+    assert all(got[int(h)] for h in h_all[1_000:])
+
+
+def test_cuckoo_legacy_stash_migration(tmp_path):
+    """A round-2 store's global stash.bin splits into per-shard sidecars on
+    CuckooFileState.load, and CuckooState.load reads the NEW layout back to
+    the same global stash set."""
+    import numpy as np
+    import os
+
+    bits, shards = 1 << 18, 2
+    c = CuckooState(bits, shards)
+    c.stash = {(0 << 16) | 7, (1 << 16) | 9, (1 << 16) | 11}
+    path = str(tmp_path / "legacy")
+    c.save(path)  # writes shard-*.bin + global stash.bin
+    assert os.path.exists(os.path.join(path, "stash.bin"))
+
+    from sparkcrawl.cuckoo import CuckooFileState
+
+    cf = CuckooFileState.load(path, bits, shards)
+    assert cf is not None
+    assert not os.path.exists(os.path.join(path, "stash.bin"))
+    s0 = np.fromfile(os.path.join(path, "stash-0000.bin"), dtype=np.int64)
+    s1 = np.fromfile(os.path.join(path, "stash-0001.bin"), dtype=np.int64)
+    assert s0.tolist() == [7] and s1.tolist() == [9, 11]
+    c2 = CuckooState.load(path, bits, shards)
+    assert c2.stash == c.stash

@@ -388,3 +388,21 @@ def test_adaptive_shuffle_scopes_to_round(spark, fixture_paths, tmp_path):
         assert eng._shuffle_target(est) == want
     assert eng._shuffle_target(None) == eng._max_shuffle
     assert eng._shuffle_target(10**9, ceiling=7) == 7
+
+
+def test_default_seen_filter_file_backed(spark, fixtures, fixture_paths,
+                                         tmp_path):
+    """The engine's default (sharded) seen filter is the executor-side
+    file-backed state: nothing bitmap-shaped lives on the driver, and a
+    fresh engine resuming the store opens the same file-backed state."""
+    from sparkcrawl.seen import BloomFileState
+
+    store_dir = str(tmp_path / "fb")
+    _run_engine(spark, fixtures, fixture_paths, store_dir, max_rounds=2)
+    pages, meta, robots, _ = load_inputs(spark, fixture_paths)
+    eng = CrawlEngine(
+        spark, SnapshotStore(store_dir), pages, meta, robots, CrawlConfig()
+    )
+    b = eng.bloom()
+    assert isinstance(b, BloomFileState)
+    assert not hasattr(b, "bitmap")

@@ -141,3 +141,54 @@ def test_dense_seq_global_rank(spark):
     )
     for i, (_, _, seq) in enumerate(rows):
         assert seq == 1000 + i + 1
+
+
+def test_bloom_file_state_executor_side(spark, tmp_path):
+    """BloomFileState (the engine's default): executor-side per-shard
+    merges produce BIT-IDENTICAL shard files to the driver-resident
+    BloomState for the same adds (the layouts are interchangeable), no
+    false negatives, incremental merges accumulate, save() is a no-op,
+    and the driver object holds no bitmap at all."""
+    import numpy as np
+
+    from sparkcrawl.seen import BloomFileState, BloomState
+
+    def mk(a, b):
+        return spark.range(a, b).select(
+            F.concat(F.lit("http://h:80/f"), F.col("id")).alias("url_norm"),
+            F.xxhash64(F.concat(F.lit("http://h:80/f"), F.col("id"))).alias(
+                "url_hash"
+            ),
+        )
+
+    d1, d2 = mk(0, 3_000), mk(3_000, 5_000)
+    shards, bits = 4, 1 << 16
+    b_mem = BloomState(bits, shards=shards)
+    b_mem.add_hashes_df(d1)
+    b_mem.add_hashes_df(d2)
+    mem_path = str(tmp_path / "mem")
+    b_mem.save(mem_path)
+
+    path = str(tmp_path / "file")
+    bf = BloomFileState.create(path, bits, shards)
+    bf.add_hashes_df(d1)
+    bf.add_hashes_df(d2)  # incremental second merge
+    for s in range(shards):
+        assert np.array_equal(
+            BloomFileState.load_shard(path, s),
+            BloomState.load_shard(mem_path, s),
+        ), f"shard {s} differs from driver-resident build"
+    assert not hasattr(bf, "bitmap")  # nothing driver-resident
+    bf.save(path)  # no-op, already durable
+
+    # reopen reads nothing on the driver; membership has no false negatives
+    bf2 = BloomFileState.load(path, bits, shards)
+    hits = (
+        mk(0, 5_000)
+        .withColumn("h", bf2.hit_udf()(F.col("url_hash")))
+        .collect()
+    )
+    assert all(r["h"] for r in hits)
+    # and the legacy loader opens the same files (cross-compat)
+    b_back = BloomState.load(path, bits, shards)
+    assert np.array_equal(b_back.bitmap, b_mem.bitmap)
