@@ -406,3 +406,55 @@ def test_default_seen_filter_file_backed(spark, fixtures, fixture_paths,
     b = eng.bloom()
     assert isinstance(b, BloomFileState)
     assert not hasattr(b, "bitmap")
+
+
+def test_recrawl_three_pass_chain(spark, fixtures, fixture_paths, tmp_path):
+    """THREE consecutive re-crawl passes over a web that mutates between
+    each: init_recrawl chains the doc_cache (this pass's stores overwrite;
+    prior entries NOT re-fetched carry forward — the reference DB keeps old
+    DocVals unless addDocInfo overwrites, CrawlerBolt.java:473-485), and
+    every pass's trace/seen/crawled must match the oracle run with the
+    equivalently-chained cache dict. doc_cache stays ONE data dir per pass
+    (stage_overwrite discipline), so the lineage chain never accumulates
+    files across passes."""
+    from gen_fixtures import mutate, write_parquet
+    from oracle import run_oracle as _oracle
+
+    store_dir = str(tmp_path / "rc3")
+    _run_engine(spark, fixtures, fixture_paths, store_dir)
+    o1 = run_oracle(fixtures)
+    pages_by = {r["url"]: r for r in fixtures["pages"]}
+    cache = {un: pages_by[un]["warc_ts"] for un in o1.crawled}
+
+    fx = fixtures
+    per_pass = {}
+    for i, seed in enumerate((43, 44), start=2):
+        fx = mutate(fx, seed=seed)
+        paths = write_parquet(fx, str(tmp_path / f"web{i}"))
+        pages, meta, robots, seeds = load_inputs(spark, paths)
+        cfg = CrawlConfig(
+            filters=FilterConfig(banned_hosts=fixtures["banned_hosts"])
+        )
+        store = SnapshotStore(store_dir)
+        eng = CrawlEngine(spark, store, pages, meta, robots, cfg)
+        eng.init_recrawl(seeds)
+        assert store.n_dirs("doc_cache") == 1, "doc_cache must stay 1 dir"
+        eng.run(None)
+        o = _oracle(fx, doc_cache=cache)
+        trace, seen, crawled = _collect(spark, store)
+        assert trace == o.trace, f"pass {i} trace mismatch"
+        assert seen == o.seen, f"pass {i} seen mismatch"
+        assert crawled == o.crawled, f"pass {i} crawled mismatch"
+        actions = {a for (_, _, _, _, a) in trace}
+        assert "not_modified" in actions and "fetched" in actions
+        assert int(store.meta["pass"]) == i
+        per_pass[i] = (set(crawled), {
+            un for (_, _, un, _, a) in trace if a == "not_modified"
+        })
+        # advance the oracle cache exactly the way init_recrawl does
+        pb = {r["url"]: r for r in fx["pages"]}
+        cache = {**cache, **{un: pb[un]["warc_ts"] for un in o.crawled}}
+
+    # the chain really advanced: some page RE-FETCHED in pass 2 serves a
+    # 304 in pass 3 off its pass-2 cache entry (not the pass-1 one)
+    assert per_pass[2][0] & per_pass[3][1], "no pass-2 store 304'd in pass 3"
