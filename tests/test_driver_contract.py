@@ -38,3 +38,37 @@ def test_queries_and_oracles_consistent(spark):
     for name, fn in qs.items():
         df = fn(spark, SF)
         assert df.columns, name
+
+
+def test_docs_track_query_catalog():
+    """Doc-drift guard: COVERAGE.md's duckdb citations must reference only
+    real catalog queries AND cover every one of them, and no prose doc may
+    state a literal 'N queries' count that disagrees with len(QUERIES) —
+    counts stay unnumbered or auto-derived, never hand-maintained."""
+    import re
+
+    from sparkcrawl.queries import QUERIES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cov = open(os.path.join(repo, "COVERAGE.md")).read()
+
+    cited: set[str] = set()
+    for grp in re.findall(r"duckdb ((?:`[a-z0-9_]+`(?:,\s*)?)+)", cov):
+        cited |= set(re.findall(r"`([a-z0-9_]+)`", grp))
+    unknown = cited - set(QUERIES)
+    assert not unknown, f"COVERAGE.md cites unknown queries: {sorted(unknown)}"
+    undocumented = set(QUERIES) - cited
+    assert not undocumented, (
+        f"catalog queries missing from COVERAGE.md: {sorted(undocumented)}"
+    )
+
+    for fname in ("README.md", "COVERAGE.md", "ARCHITECTURE.md"):
+        text = open(os.path.join(repo, fname)).read()
+        for n in re.findall(
+            r"\b(\d+)\s+(?:oracle-checked\s+|catalog\s+|headline\s+)?"
+            r"quer(?:y|ies)\b", text
+        ):
+            assert int(n) == len(QUERIES), (
+                f"{fname} states '{n} queries' but catalog has "
+                f"{len(QUERIES)}"
+            )
