@@ -31,6 +31,24 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cores_s) if cores_s.isdigit() else 32
 
+    # Python workers pay 130-220 ms PER TASK re-parsing pyspark.zip's
+    # central directory inside the worker preamble's
+    # importlib.invalidate_caches() call (the JVM puts the zip on every
+    # worker's PYTHONPATH). sparkcrawl/workerenv/sitecustomize.py guards
+    # that with an mtime check; inject it ahead of the zips so every
+    # spawned worker/daemon picks it up. Must happen BEFORE the JVM
+    # gateway launches (the daemon inherits this process's env). See the
+    # shim's docstring for the cluster-mode recipe (--py-files +
+    # spark.executorEnv.PYTHONPATH).
+    workerenv = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "workerenv")
+    if os.path.isdir(workerenv):
+        pp = os.environ.get("PYTHONPATH", "")
+        if workerenv not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                workerenv + (os.pathsep + pp if pp else "")
+            )
+
     b = (
         SparkSession.builder.master(f"local[{cores_s}]")
         .appName(app_name)
