@@ -55,6 +55,16 @@ class CrawlConfig:
     # test_partition_determinism).
     adaptive_shuffle: bool = True
     shuffle_rows_per_partition: int = 4096
+    # Web-cache partition sizing: cache width = clamp(ceil(n_pages /
+    # cache_rows_per_partition), 1, session shuffle width). Page rows are
+    # html-bearing (~3 KB), so 16k rows ≈ 50 MB per cached partition.
+    # Without this a 50 MB test web cached at the session's 32-way width
+    # makes EVERY downstream stage of the fetch join (extraction, dedup,
+    # link explode) a 32-task stage over a few hundred rows — pure
+    # per-task overhead. At design-scale webs the clamp ceiling keeps the
+    # full session width (the Iceberg analogue: bucket count is sized to
+    # the table, not to the cluster). 0 disables (always session width).
+    cache_rows_per_partition: int = 16384
     # Force-broadcast the host-keyed state tables (robots rules, priority,
     # delay clocks) — the reference's in-memory robotMap/lastCrawled
     # analogue, correct while those tables fit executor memory. At 10^8+
@@ -347,6 +357,15 @@ class CrawlEngine:
         # (_web = None branch in _run_round).
         self._cache_width = n_shuffle
         self._web = None
+        if cfg.cache_web and cfg.cache_rows_per_partition > 0:
+            # size the cache to the web, not the session (docstring at
+            # cfg.cache_rows_per_partition). The count is one metadata-
+            # cheap scan, paid once at init.
+            n_pages = self._pg.count()
+            self._cache_width = min(
+                n_shuffle,
+                max(1, -(-int(n_pages) // cfg.cache_rows_per_partition)),
+            )
         if cfg.cache_web:
             # pin the joined web in memory (cluster analogue: Iceberg
             # bucket pruning + OS page cache keep the hot fetch working
@@ -361,7 +380,7 @@ class CrawlEngine:
             try:
                 self._web = (
                     self._pg.join(self._mt, "url_norm", "full")
-                    .repartition(n_shuffle, "url_norm")
+                    .repartition(self._cache_width, "url_norm")
                     .cache()
                 )
             finally:

@@ -67,7 +67,8 @@ def test_bucketed_fetch_reuses_cache_partitioning(
     # cache width == session shuffle width -> the co-partitioning gate holds
     eng = CrawlEngine(
         spark, store, pages, meta, robots_df,
-        CrawlConfig(cache_web=True, fetch_join="bucketed"),
+        CrawlConfig(cache_web=True, fetch_join="bucketed",
+                    cache_rows_per_partition=0),
     )
     assert eng._use_bucketed_fetch(None)  # forced mode ignores the estimate
     sel = _sel(spark)
@@ -98,7 +99,8 @@ def test_bucketed_outer_join_never_sorts(spark, fixture_paths, tmp_path):
     store = SnapshotStore(str(tmp_path / "store"))
     eng = CrawlEngine(
         spark, store, pages, meta, robots_df,
-        CrawlConfig(cache_web=True, fetch_join="bucketed"),
+        CrawlConfig(cache_web=True, fetch_join="bucketed",
+                    cache_rows_per_partition=0),
     )
     sel = _sel(spark)
     sel_keys = sel.select("url_norm").hint("shuffle_hash")
@@ -128,7 +130,7 @@ def test_auto_fetch_gate(spark, fixture_paths, tmp_path):
     eng = CrawlEngine(
         spark, store, pages, meta, robots_df,
         CrawlConfig(cache_web=True, fetch_join="auto",
-                    bucketed_fetch_min=1000),
+                    bucketed_fetch_min=1000, cache_rows_per_partition=0),
     )
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert eng._cache_width == width
@@ -147,5 +149,25 @@ def test_auto_fetch_gate(spark, fixture_paths, tmp_path):
         CrawlConfig(cache_web=False, fetch_join="bucketed"),
     )
     assert not eng2._use_bucketed_fetch(10**9)
+    eng._web.unpersist()
+    shutil.rmtree(str(tmp_path / "store"), ignore_errors=True)
+
+
+def test_cache_width_sized_to_web(spark, fixture_paths, tmp_path):
+    """Default config sizes the web cache to the data, not the session:
+    a tiny web caches into few partitions (downstream extraction stages
+    stop paying dozens of near-empty python tasks per round), the clamp
+    ceiling is the session width, and auto mode then correctly refuses
+    the bucketed path (cache width != round ceiling -> broadcast)."""
+    pages, meta, robots_df, seeds = load_inputs(spark, fixture_paths)
+    store = SnapshotStore(str(tmp_path / "store"))
+    eng = CrawlEngine(spark, store, pages, meta, robots_df, CrawlConfig())
+    n_pages = pages.count()
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    expect = min(width, max(1, -(-n_pages // 16384)))
+    assert eng._cache_width == expect
+    assert eng._web.rdd.getNumPartitions() == expect
+    if expect != width:
+        assert not eng._use_bucketed_fetch(10**9)
     eng._web.unpersist()
     shutil.rmtree(str(tmp_path / "store"), ignore_errors=True)
