@@ -124,6 +124,13 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.35,
     brute-force all-pairs baseline is measured in tests; the oracle
     reproduces the SAME banded candidate generation."""
     b = banded_sign_buckets(df, n_bands, band_bits, vec_col, id_col)
+    # user repartition on the join key: AQE's byte-based coalesce floor
+    # would squeeze this CPU-dense self-join + cosine verify into 1-3
+    # tasks (measured 5.2 s of CPU in 3 tasks at sf0.1 on 32 cores); the
+    # explicit exchange is AQE-exempt and shared by both aliases
+    # (ReusedExchange). See textops.ensure_width for the full argument.
+    w = int(b.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    b = b.repartition(w, F.col("band"), F.col("bucket"))
     a = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
     c = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
@@ -131,6 +138,7 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.35,
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .repartition(w, F.col("id_a"))  # verify-join width (cosine fold)
     )
     emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     ea = df.select(F.col(id_col).alias("id_a"), emb_d.alias("_ea"))

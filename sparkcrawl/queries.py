@@ -492,7 +492,9 @@ def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (md5-keyed so the oracle reproduces them):
     sig[k] = min over 3-shingles s of md5('k:' || s); flat (doc, k, minhash).
     Empty-shingle docs are excluded (no signature)."""
-    d = textops.with_shingles(_t(spark, sf_dir, "documents"), n=3)
+    d = textops.with_shingles(
+        textops.ensure_width(_t(spark, sf_dir, "documents"), "doc_id"), n=3
+    )
 
     def _salted(k: int):
         # single-arg lambda (2-arg transform lambdas receive the index)

@@ -23,6 +23,32 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
+def ensure_width(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread a CPU-dense transform or self-join across the session's full
+    shuffle width when the incoming plan is narrower.
+
+    Two narrow-plan sources this corrects:
+    - single-file local scans (one parquet file under maxPartitionBytes
+      -> a 1-task stage, serializing per-row shingle/signature compute);
+    - AQE post-shuffle coalescing, whose 1 MB minPartitionSize floor is
+      calibrated for IO-bound stages and squeezes byte-small but CPU-dense
+      pair-verification exchanges into 1-3 tasks (measured: the sf0.1
+      embedding verify ran 5.2 s of CPU in 3 tasks on a 32-core session).
+
+    An explicit repartition is exempt from AQE coalescing, and aliasing
+    the repartitioned frame on both sides of a self-join makes the second
+    branch a ReusedExchange (the signature pass computes once, not per
+    branch). At design scale scans and exchanges are already wide, the
+    partition-count check short-circuits, and this is a no-op.
+    """
+    spark = df.sparkSession
+    w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= w:
+        return df
+    return df.repartition(w, *[F.col(c) for c in cols]) if cols \
+        else df.repartition(w)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (P1 at corpus scale)
 # ---------------------------------------------------------------------------
@@ -103,7 +129,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
     hash_fn: 'xxhash64' (engine default, fastest) or 'md5' (hex-string
     minima — reproducible by external oracles like DuckDB).
     """
-    d = with_shingles(docs, shingle_n, text_col)
+    d = with_shingles(ensure_width(docs), shingle_n, text_col)
     hf = F.xxhash64 if hash_fn == "xxhash64" else F.md5
 
     def _salted(k: int):
@@ -209,7 +235,10 @@ def jaccard_pairs(
             F.size(F.array_distinct("shingles")).alias("n_sh")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    sh = with_shingles(docs, shingle_n, text_col).select(*cols)
+    # widen the shingle compute itself (narrow local scans serialize it)
+    sh = with_shingles(
+        ensure_width(docs, id_col), shingle_n, text_col
+    ).select(*cols)
     blk = ["blk"] if block_col else []
 
     prefix_len = (
@@ -227,6 +256,12 @@ def jaccard_pairs(
         ).alias("shingle"),
     )
 
+    # user repartition on the join key: AQE-exempt (the 1 MB coalesce floor
+    # would squeeze this byte-small, CPU-dense self-join into one task) and
+    # shared by both aliases -> the b branch is a ReusedExchange
+    w = int(prefix.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                         "32"))
+    prefix = prefix.repartition(w, F.col("shingle"))
     a, b = prefix.alias("a"), prefix.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.id") < F.col("b.id")
@@ -246,6 +281,9 @@ def jaccard_pairs(
     )
     if candidates is not None:
         cand = cand.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    # pin the verify join's width too: array_intersect over fat shingle
+    # arrays is the CPU-dense step the coalesce floor otherwise serializes
+    cand = cand.repartition(w, F.col("doc_a"))
 
     sa = sh.select(
         F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"),
@@ -326,7 +364,8 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     cols = [F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    sig = docs.select(*cols)
+    # widen the Arrow simhash pass (narrow local scans serialize it)
+    sig = ensure_width(docs, id_col).select(*cols)
     chunk_cols = ["id", "sig"] + (["blk"] if block_col else [])
     chunks = sig.select(
         *chunk_cols,
@@ -339,6 +378,12 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
             )
         ).alias("chunk_idx", "chunk_val"),
     )
+    # user repartition on the join key (AQE-exempt; see jaccard_pairs) —
+    # AND the one exchange both aliases share, so the simhash UDF runs
+    # ONCE instead of once per self-join branch (ReusedExchange)
+    w = int(chunks.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                         "32"))
+    chunks = chunks.repartition(w, F.col("chunk_idx"), F.col("chunk_val"))
     a, b = chunks.alias("a"), chunks.alias("b")
     cond = (
         (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
