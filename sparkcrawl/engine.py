@@ -100,6 +100,12 @@ class CrawlConfig:
     # read amplification stays ≤2× and each compaction is a full consumed-
     # growth apart — amortized O(round size) per round.
     frontier_compact_min: int = 65536
+    # Snapshot retention for the periodic expire_snapshots pass (Iceberg
+    # expire_snapshots + remove_orphan_files analogue, tables.py): without
+    # it a long crawl leaks every dir superseded by overwrite/compaction
+    # commits plus any dirs staged by a killed round. 0 disables (keep
+    # every snapshot — full time-travel, unbounded disk).
+    snapshot_keep: int = 8
     use_bloom: bool = True
     # Which probabilistic seen-prefilter backs the exact anti-join (the
     # north-rule's "bloom/cuckoo URL-seen"): "bloom" (seen.BloomState,
@@ -1219,6 +1225,10 @@ class CrawlEngine:
             self._compact_frontier()  # cheap meta check; folds tombstones
             if r % 64 == 0:
                 self._compact_tables(r)
+                if cfg.snapshot_keep > 0:
+                    # same cadence as table compaction: drop expired
+                    # manifests + the data dirs only they referenced
+                    self.store.expire_snapshots(cfg.snapshot_keep)
             if last["n_selected"] == 0:
                 stall += 1
                 if stall > 64:  # no delay in fixtures exceeds this

@@ -200,3 +200,56 @@ class SnapshotStore:
             return False
         self.stage_overwrite(name, self.read(spark, name, schema))
         return True
+
+    def expire_snapshots(self, keep_last: int = 8) -> dict:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analogue.
+
+        Drops manifest files older than the newest ``keep_last`` (always
+        keeping the CURRENT manifest and anything newer — a crash between
+        writing vN.json and swapping CURRENT must never strand the live
+        snapshot), then deletes every ``data/<table>/<token>`` dir that no
+        kept manifest and no pending stage references.
+
+        Without this a long crawl leaks disk two ways: every overwrite/
+        compaction commit strands the superseded dirs (referenced only by
+        expired manifests), and a round killed mid-write strands its
+        staged dirs forever. Both are exactly what Iceberg's maintenance
+        procedures exist for; the engine runs this on the same cadence as
+        table compaction. Only ``data/`` is scanned — seen-filter shard
+        files (``<root>/bloom*``, ``<root>/cuckoo``) live beside it and
+        are versioned by their own manifest-carried metadata.
+        """
+        keep_last = max(1, keep_last)
+        snaps = sorted(
+            n[:-5] for n in os.listdir(self.snap_dir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        current = f"v{self.version:08d}"
+        keep = set(snaps[-keep_last:])
+        keep.update(n for n in snaps if n >= current)
+        referenced: set[str] = set()
+        for n in keep:
+            with open(os.path.join(self.snap_dir, n + ".json")) as f:
+                for dirs in json.load(f)["tables"].values():
+                    referenced.update(dirs)
+        with self._lock:
+            for p in self._pending.values():
+                referenced.update(p["dirs"])
+        removed_dirs = 0
+        for table in sorted(os.listdir(self.data_dir)):
+            tdir = os.path.join(self.data_dir, table)
+            if not os.path.isdir(tdir):
+                continue
+            for token in sorted(os.listdir(tdir)):
+                d = os.path.join(tdir, token)
+                if d not in referenced:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed_dirs += 1
+        removed_snaps = 0
+        for n in snaps:
+            if n not in keep:
+                os.remove(os.path.join(self.snap_dir, n + ".json"))
+                removed_snaps += 1
+        return {"removed_dirs": removed_dirs,
+                "removed_snapshots": removed_snaps,
+                "kept_snapshots": len(keep)}
