@@ -1463,6 +1463,131 @@ FROM cur c LEFT JOIN cache k ON c.doc_id = k.doc_id
 
 # ---------------------------------------------------------------------------
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS from LSH pairs: distributed connected components
+    (alternating large-star/small-star, components.py) labels every document
+    with its component's min doc_id; canonical = the minimum (keep-one-per-
+    cluster dedup policy). Pairs use the md5-keyed minhash variant so the
+    oracle rebuilds identical buckets; the closure itself is algorithm-
+    independent (min-id labeling has a unique fixpoint), so the oracle's
+    recursive CTE must agree exactly."""
+    from sparkcrawl.components import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = textops.lsh_candidate_pairs(d, n_hashes=16, bands=8, hash_fn="md5")
+    return dedup_clusters(d, pairs).orderBy("doc_id")
+
+
+Q_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE expl AS (
+  SELECT doc_id, unnest(
+    [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+     for i in range(1, greatest(len(tokens) - 1, 1))]) AS s
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+    FROM documents
+  )
+),
+ks AS (SELECT unnest(range(0, 16)) AS k),
+sig AS (
+  SELECT e.doc_id, ks.k,
+         MIN(md5(CAST(ks.k AS VARCHAR) || ':' || e.s)) AS mh
+  FROM expl e CROSS JOIN ks
+  GROUP BY e.doc_id, ks.k
+),
+band AS (
+  SELECT doc_id, k // 2 AS band,
+         md5(string_agg(mh, ',' ORDER BY k)) AS bucket
+  FROM sig GROUP BY doc_id, k // 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+  UNION
+  SELECT reach.u, sym.v FROM reach JOIN sym ON reach.r = sym.u
+),
+comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Test-set decontamination: flag training documents sharing any 5-gram
+    with the held-out eval split (doc_id % 7 == 0 — synthesized split, same
+    expression both sides). The banned-shingle set is hashed (md5) and
+    BROADCAST — eval sets are tiny next to a 100 TB corpus, so the scan-side
+    semi-join never shuffles the corpus. Standard n-gram-overlap
+    decontamination (GPT-3 appendix C / Dodge et al. 2021, "Documenting
+    Large Webtext Corpora")."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        textops.with_shingles(d, n=5)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .distinct()
+        .select("doc_id", F.md5("s").alias("g"))
+    )
+    banned = (
+        sh.filter(F.col("doc_id") % 7 == 0).select("g").distinct()
+    )
+    hits = (
+        sh.filter(F.col("doc_id") % 7 != 0)
+        .join(F.broadcast(banned), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_banned"))
+    )
+    train = d.filter(F.col("doc_id") % 7 != 0).select("doc_id")
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_banned"), F.lit(0)).alias("n_banned"),
+            (F.coalesce(F.col("n_banned"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_CONTAMINATION_SQL = """
+WITH expl AS (
+  SELECT DISTINCT doc_id, md5(unnest(
+    [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' ' ||
+     tokens[i+3] || ' ' || tokens[i+4]
+     for i in range(1, greatest(len(tokens) - 3, 1))])) AS g
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+    FROM documents
+  )
+),
+banned AS (SELECT DISTINCT g FROM expl WHERE doc_id % 7 = 0),
+hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_banned
+  FROM expl e JOIN banned b USING (g)
+  WHERE e.doc_id % 7 <> 0
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_banned, 0) AS n_banned,
+       COALESCE(h.n_banned, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 7 <> 0
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
@@ -1508,6 +1633,11 @@ QUERIES = {
     # multimodal payload, quantized centroids)
     "simhash_pairs": (q_simhash_pairs, Q_SIMHASH_PAIRS_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, Q_MINHASH_LSH_PAIRS_SQL),
+    # transitive closure of the LSH pairs: Spark runs large/small-star
+    # connected components (components.py), the oracle a recursive CTE —
+    # min-id labeling has a unique fixpoint, so both must agree exactly
+    "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
+    "contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
     "multimodal_resize": (q_multimodal_resize, Q_MULTIMODAL_RESIZE_SQL),
     "multimodal_frames": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),

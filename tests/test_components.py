@@ -1,0 +1,89 @@
+"""connected_components (large/small-star) vs a plain union-find reference."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from sparkcrawl.components import connected_components, dedup_clusters
+
+PAIRS = "doc_a long, doc_b long"
+
+
+def _union_find(n_nodes, edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id label per node (the unique fixpoint the Spark job must reach)
+    return {x: find(x) for x in parent}
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, PAIRS)
+    out = connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_two_components_and_chain(spark):
+    # a 6-node chain (worst case for diameter-bound propagation) + a triangle
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12),
+             (10, 12)]
+    got = _cc(spark, edges)
+    assert got == _union_find(12, edges)
+    assert set(got.values()) == {1, 10}
+
+
+def test_matches_union_find_on_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 20 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = _cc(spark, edges)
+        assert got == _union_find(n, edges), f"trial {trial}"
+
+
+def test_empty_and_self_loop_pairs(spark):
+    assert _cc(spark, [(5, 5)]) == {}
+    df = spark.createDataFrame([], PAIRS)
+    assert connected_components(df).count() == 0
+
+
+def test_long_chain_converges_fast(spark, monkeypatch):
+    """A 64-node chain has diameter 63; large/small-star must still converge
+    within the O(log^2 n) rail (naive propagation would need 63 rounds)."""
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 64
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], PAIRS)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=0)
+
+
+def test_dedup_clusters_covers_all_docs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (6, 7)], PAIRS)
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert len(rows) == 8
+    assert rows[5]["cluster_id"] == 1 and not rows[5]["is_canonical"]
+    assert rows[1]["is_canonical"]
+    assert rows[7]["cluster_id"] == 6
+    # unpaired docs are their own (kept) cluster
+    assert rows[0]["cluster_id"] == 0 and rows[0]["is_canonical"]

@@ -176,3 +176,27 @@ def test_round_checkpoints_freed_after_commit(spark, fixture_paths, tmp_path):
         eng._web.unpersist()
     eng.host_rules.unpersist()
     shutil.rmtree(str(tmp_path / "store"), ignore_errors=True)
+
+
+def test_contamination_banned_set_is_broadcast(spark):
+    """Decontamination must broadcast the banned-shingle set — the corpus
+    side (100 TB at scale) must never shuffle for this join."""
+    from sparkcrawl.queries import q_contamination
+
+    plan = _plan(q_contamination(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_connected_components_star_ops_no_cartesian(spark):
+    """One large/small-star alternation is groupBy+equi-join only — keyed
+    shuffles, no nested-loop or cartesian anywhere."""
+    from sparkcrawl.components import _large_star, _small_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "u long, v long"
+    )
+    sym = edges.union(edges.select("v", "u"))
+    plan = _plan(_small_star(_large_star(sym)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
