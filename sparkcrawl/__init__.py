@@ -20,6 +20,8 @@ tables        SnapshotTable: atomic-commit Parquet tables (Iceberg stand-in)
 export        corpus exporter (url$$$body, 10k records/file)
 textops       training-data ops: dedup (exact/minhash/simhash), lang-id,
               quality scoring, token counts, fingerprints
+components    distributed connected components (large/small-star) — near-dup
+              cluster resolution + keep-one-per-cluster dedup verdicts
 annsearch     embedding similarity search (brute cosine top-k, LSH buckets)
 multimodal    binary-column (image/audio) plumbing with stubbed decoders
 """

@@ -106,6 +106,10 @@ class CrawlConfig:
     # commits plus any dirs staged by a killed round. 0 disables (keep
     # every snapshot — full time-travel, unbounded disk).
     snapshot_keep: int = 8
+    # Rounds between table-compaction + snapshot-expiry passes. 64 amortizes
+    # the rewrite over enough appended dirs to be worth it; tests shrink it
+    # to exercise maintenance inside short crawls.
+    maintenance_every: int = 64
     use_bloom: bool = True
     # Which probabilistic seen-prefilter backs the exact anti-join (the
     # north-rule's "bloom/cuckoo URL-seen"): "bloom" (seen.BloomState,
@@ -1223,7 +1227,7 @@ class CrawlEngine:
             r += 1
             last = self.run_round(r)
             self._compact_frontier()  # cheap meta check; folds tombstones
-            if r % 64 == 0:
+            if r % cfg.maintenance_every == 0:
                 self._compact_tables(r)
                 if cfg.snapshot_keep > 0:
                     # same cadence as table compaction: drop expired

@@ -22,11 +22,12 @@ from sparkcrawl.tables import SnapshotStore
 
 
 def _run_engine(spark, fixtures, fixture_paths, store_dir, use_bloom=True,
-                max_rounds=1000, resume_break=None):
+                max_rounds=1000, resume_break=None, **cfg_kw):
     pages, meta, robots, seeds = load_inputs(spark, fixture_paths)
     cfg = CrawlConfig(
         use_bloom=use_bloom,
         filters=FilterConfig(banned_hosts=fixtures["banned_hosts"]),
+        **cfg_kw,
     )
     store = SnapshotStore(store_dir)
     eng = CrawlEngine(spark, store, pages, meta, robots, cfg)
@@ -458,3 +459,28 @@ def test_recrawl_three_pass_chain(spark, fixtures, fixture_paths, tmp_path):
     # the chain really advanced: some page RE-FETCHED in pass 2 serves a
     # 304 in pass 3 off its pass-2 cache entry (not the pass-1 one)
     assert per_pass[2][0] & per_pass[3][1], "no pass-2 store 304'd in pass 3"
+
+
+def test_aggressive_maintenance_identical_and_bounded(
+    spark, fixtures, fixture_paths, tmp_path, oracle_result
+):
+    """Running table compaction + snapshot expiry EVERY OTHER ROUND (vs the
+    default every-64) changes nothing observable — trace/seen/text equal the
+    oracle — while the manifest count stays bounded by the retention window
+    and a post-expiry resume still completes from the pruned store."""
+    import os
+
+    root = str(tmp_path / "mx")
+    store = _run_engine(
+        spark, fixtures, fixture_paths, root,
+        maintenance_every=2, snapshot_keep=2, frontier_compact_min=1,
+        resume_break=3,  # kill after round 3: resume reads a pruned store
+    )
+    trace, seen, crawled = _collect(spark, store)
+    assert seen == oracle_result.seen
+    assert trace == oracle_result.trace
+    assert crawled == oracle_result.crawled
+    # retention bound: kept manifests = keep_last + CURRENT-and-newer slack;
+    # a 7-round tiny crawl commits ~20 snapshots without expiry
+    snaps = [n for n in os.listdir(store.snap_dir) if n.endswith(".json")]
+    assert len(snaps) <= 4, snaps
