@@ -22,6 +22,8 @@ textops       training-data ops: dedup (exact/minhash/simhash), lang-id,
               quality scoring, token counts, fingerprints
 components    distributed connected components (large/small-star) — near-dup
               cluster resolution + keep-one-per-cluster dedup verdicts
+curation      corpus curation: deterministic stratified sampling, domain-mix
+              report, token-budget shard packing (partition-free prefix sum)
 annsearch     embedding similarity search (brute cosine top-k, LSH buckets)
 multimodal    binary-column (image/audio) plumbing with stubbed decoders
 """

@@ -1,0 +1,198 @@
+"""Corpus-curation operators: the steps between "deduped crawl corpus" and
+"training mix" — deterministic stratified sampling, domain-mix reporting,
+and token-budget shard packing.
+
+All three are pure DataFrame plans (no Python in the hot path). Scale
+shapes, per op:
+
+- stratified_sample: a FILTER — no shuffle, no state, pushes to the scan.
+  Sampling decisions are a pure function of (salt, doc_id), so the same
+  doc samples in or out on every run, on any cluster size, independent of
+  partitioning. md5-prefix thresholding (not rand()) keeps it
+  reproducible and lets any external system (the DuckDB oracle, a
+  downstream auditor) re-derive the exact kept set.
+- domain_mix: one hash aggregation on (source, lang) with map-side partial
+  combine, then a 1-row broadcast join for the corpus total. The wide
+  input never moves twice.
+- pack_shards: a global running total WITHOUT a single-partition window —
+  range-repartition on the order key, per-partition partial sums, a tiny
+  driver-side prefix sum over one number per partition (same technique as
+  engine.dense_seq, which is plan-guarded against one-task funnels). At
+  100 TB the driver sees shuffle_partitions longs; everything else is
+  distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# Per-language keep rates for the default training mix. Expressed as
+# 16-bit hex thresholds on the first 4 hex digits of md5(salt:doc_id):
+# a doc is kept iff its 4-hex bucket sorts below the threshold, so
+# '8000' keeps 32768/65536 = 1/2 of docs. Hex-string comparison == the
+# numeric comparison (fixed width, lowercase), and md5 is reproducible
+# everywhere — the oracle re-derives the exact sample.
+DEFAULT_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
+DEFAULT_RATE = 0.125
+SAMPLE_SALT = "samp"
+
+
+def rate_threshold(rate: float) -> str:
+    """4-hex-digit threshold keeping ~rate of uniform md5 prefixes."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate out of [0,1]: {rate}")
+    return format(min(int(rate * 65536), 65535), "04x") if rate < 1.0 \
+        else "ffff"
+
+
+def sample_bucket(doc_id_col, salt: str = SAMPLE_SALT):
+    """The doc's 4-hex sampling bucket: substr(md5(salt:doc_id), 1, 4)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), doc_id_col.cast("string"))), 1, 4
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = DEFAULT_RATE,
+    strata_col: str = "lang",
+    salt: str = SAMPLE_SALT,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of docs.
+
+    Returns doc_id, stratum, bucket for the kept rows. Pure narrow filter:
+    at any scale this is a predicate on the scan — no shuffle, no
+    coordination, and re-running (or running on a different cluster
+    size / partitioning) keeps the identical set.
+    """
+    rates = DEFAULT_RATES if rates is None else rates
+    thr = F.lit(rate_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(rate_threshold(rate))
+        ).otherwise(thr)
+    return (
+        docs.withColumn("bucket", sample_bucket(F.col("doc_id"), salt))
+        .filter(F.col("bucket") < thr)
+        .select("doc_id", F.col(strata_col).alias("stratum"), "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain-mix report
+# ---------------------------------------------------------------------------
+
+
+def domain_mix(docs: DataFrame) -> DataFrame:
+    """Docs / chars / corpus share per (source, lang) cell.
+
+    One partial-aggregated groupBy; the corpus total joins back as a
+    1-row broadcast over a constant key (BroadcastHashJoin — stays inside
+    the codegen span; a crossJoin would plan BroadcastNestedLoopJoin).
+    Post-agg cardinality is |sources| x |langs|, tiny at any corpus size.
+    """
+    g = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    tot = g.agg(F.sum("n_docs").alias("_tot")).withColumn("_one", F.lit(1))
+    return (
+        g.withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+        .withColumn(
+            "share",
+            F.round(F.col("n_docs").cast("double") / F.col("_tot"), 6),
+        )
+        .select("source", "lang", "n_docs", "total_chars", "share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget shard packing
+# ---------------------------------------------------------------------------
+
+
+def with_running_total(
+    df: DataFrame, value_col: str, order_cols: list[str],
+    out_col: str = "cum",
+) -> DataFrame:
+    """Global running total of value_col in (order_cols) order — scale-safe.
+
+    A bare ``SUM() OVER (ORDER BY ...)`` funnels every row through ONE
+    task. Instead (engine.dense_seq's shape, generalized from counts to
+    sums): range-repartition on the key so partitions hold disjoint
+    ordered ranges, sum within each partition, and shift by the cumulative
+    sums of the preceding partitions — one long per partition crosses the
+    driver. localCheckpoint pins the (nondeterministically sampled) range
+    partitioning between the offsets job and the output job; callers
+    should project df down to the key + value columns first so the pinned
+    blocks stay narrow.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=True)
+    sums = {
+        r["_pid"]: r["s"]
+        for r in d.groupBy("_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+    if offsets:
+        kv = []
+        for pid, ofs in offsets.items():
+            kv.extend([F.lit(pid), F.lit(ofs)])
+        off = F.coalesce(F.create_map(*kv)[F.col("_pid")], F.lit(0))
+    else:
+        off = F.lit(0)
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return d.withColumn(
+        out_col, (off + F.sum(value_col).over(w)).cast("long")
+    ).drop("_pid")
+
+
+def pack_shards(
+    docs_with_tokens: DataFrame, budget: int,
+    order_col: str = "doc_id", tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign each doc to a training shard by token budget.
+
+    Docs are laid out in deterministic (order_col) order; a doc belongs to
+    the shard containing its START offset: shard_id = (cum - n_tokens) //
+    budget. Every shard except possibly the last then holds >= budget
+    tokens once its successor starts, docs never split, and the mapping is
+    a pure function of the ordered corpus — independent of partitioning
+    and cluster size (asserted by the cross-width determinism test).
+
+    Returns order_col, n_tokens, cum_tokens, shard_id.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    d = with_running_total(
+        docs_with_tokens.select(order_col, tokens_col),
+        tokens_col, [order_col], out_col="cum_tokens",
+    )
+    return d.select(
+        order_col,
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        "cum_tokens",
+        F.floor(
+            (F.col("cum_tokens") - F.col(tokens_col)) / F.lit(budget)
+        ).cast("long").alias("shard_id"),
+    )

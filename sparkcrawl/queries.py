@@ -1588,6 +1588,127 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus curation: sampling / mix / repetition / shard packing
+# ---------------------------------------------------------------------------
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sampling (curation.py): keep a
+    doc iff the first 4 hex digits of md5('samp:' || doc_id) sort below the
+    language's rate threshold (en 1/2, de/fr 1/4, default 1/8). A pure
+    filter — no shuffle, reproducible on any cluster size, and the oracle
+    re-derives the exact kept set from the same md5."""
+    from sparkcrawl import curation
+
+    d = _t(spark, sf_dir, "documents")
+    return curation.stratified_sample(d).orderBy("doc_id")
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang AS stratum, bucket
+FROM (
+  SELECT doc_id, lang,
+         substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+  FROM documents
+)
+WHERE bucket < CASE lang WHEN 'en' THEN '8000'
+                         WHEN 'de' THEN '4000'
+                         WHEN 'fr' THEN '4000'
+                         ELSE '2000' END
+ORDER BY doc_id
+"""
+
+
+def q_domain_mix(spark, sf_dir):
+    """Corpus mix report (curation.py): docs / chars / corpus share per
+    (source, lang) cell. Single partial-combined aggregation; the total
+    joins back as a 1-row broadcast."""
+    from sparkcrawl import curation
+
+    d = _t(spark, sf_dir, "documents")
+    return curation.domain_mix(d).orderBy("source", "lang")
+
+
+Q_DOMAIN_MIX_SQL = """
+WITH g AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, total_chars,
+       round(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM g), 6)
+         AS share
+FROM g ORDER BY source, lang
+"""
+
+
+def q_rep_metrics(spark, sf_dir):
+    """Gopher-style repetition signals (textops.rep_metrics): duplicate-
+    token ratio + most-frequent-bigram share per doc. The bigram mode runs
+    as explode -> double partial aggregation (never an O(n^2) per-row array
+    scan), so it holds for MB-long docs at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.rep_metrics(d).orderBy("doc_id")
+
+
+Q_REP_METRICS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+c AS (SELECT doc_id, bg, COUNT(*) AS c FROM u GROUP BY doc_id, bg),
+a AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM c GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(1 - CAST(len(list_distinct(toks)) AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS dup_token_ratio,
+       round(COALESCE(CAST(top_c AS DOUBLE) / n_bg, 0.0), 6)
+         AS top_bigram_share
+FROM t LEFT JOIN a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def q_shard_packing(spark, sf_dir):
+    """Token-budget training-shard assignment (curation.pack_shards): docs
+    in doc_id order, shard = the 1024-token shard containing the doc's
+    start offset. The running total uses the partition-free prefix-sum
+    (range repartition + per-partition sums + driver-side prefix over one
+    long per partition — engine.dense_seq's shape), never a one-task
+    global window."""
+    from sparkcrawl import curation
+
+    d = textops.with_tokens(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.size("tokens").alias("n_tokens")
+    )
+    return curation.pack_shards(d, budget=1024).orderBy("doc_id")
+
+
+Q_SHARD_PACKING_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - n_tokens) // 1024 AS BIGINT) AS shard_id
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
@@ -1638,6 +1759,10 @@ QUERIES = {
     # min-id labeling has a unique fixpoint, so both must agree exactly
     "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     "contamination": (q_contamination, Q_CONTAMINATION_SQL),
+    "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
+    "domain_mix": (q_domain_mix, Q_DOMAIN_MIX_SQL),
+    "rep_metrics": (q_rep_metrics, Q_REP_METRICS_SQL),
+    "shard_packing": (q_shard_packing, Q_SHARD_PACKING_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
     "multimodal_resize": (q_multimodal_resize, Q_MULTIMODAL_RESIZE_SQL),
     "multimodal_frames": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),

@@ -471,3 +471,64 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace-collapsed text (oracle-reproducible)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return docs.withColumn("fingerprint", F.md5(norm))
+
+
+def rep_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals:
+
+    - dup_token_ratio: 1 - distinct_tokens / tokens (0 = no repeats)
+    - top_bigram_share: occurrences of the most frequent bigram / bigrams
+      (0 for docs with < 2 tokens)
+
+    The ratios are pure array functions (no shuffle). The bigram mode needs
+    a per-doc frequency table; rather than an O(n^2) per-row array scan, it
+    explodes to (doc, bigram) and double-aggregates — both groupBys partial-
+    combine map-side and shuffle only (id, bigram)-sized rows, so the shape
+    holds when docs are MB-long and the corpus is 100 TB.
+    """
+    t = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    )
+    base = t.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        "toks",
+    )
+    bigrams = base.filter(F.col("n_tokens") >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat(
+                    F.element_at("toks", i + 1),
+                    F.lit(" "),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ).alias("bg"),
+    )
+    agg = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top"), F.sum("c").alias("_nbg"))
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            1
+            - F.col("n_distinct").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_token_ratio"),
+        F.round(
+            F.coalesce(
+                F.col("_top").cast("double") / F.col("_nbg"), F.lit(0.0)
+            ),
+            6,
+        ).alias("top_bigram_share"),
+    )
