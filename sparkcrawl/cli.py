@@ -1,9 +1,15 @@
 """spark-submit entry point.
 
 Usage (cluster or local):
-  spark-submit --py-files sparkcrawl.zip -m sparkcrawl.cli \
+  python -m sparkcrawl.package sparkcrawl.zip   # build the --py-files zip
+  spark-submit --py-files sparkcrawl.zip sparkcrawl/cli.py \
       --web /path/to/web --store /path/to/store \
       [--max-rounds N] [--max-docs N] [--export /path/corpus] [--resume]
+
+(spark-submit's primary resource is a script path; driver and executor
+Python workers import the package from the shipped zip —
+tests/test_spark_submit.py drives exactly this, including --resume
+across process death.)
 
 `--web` must contain pages/page_meta/robots/seeds parquet (the synthetic
 Common-Crawl-style tables); `--store` is the snapshot directory. With
