@@ -248,12 +248,12 @@ def jaccard_pairs(
     ).cast("int")
     prefix = sh.select(
         "id", "n_sh", *blk,
-        F.explode(
+        F.posexplode(
             F.slice(
                 F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))),
                 F.lit(1), F.greatest(prefix_len, F.lit(0)),
             )
-        ).alias("shingle"),
+        ).alias("pos", "shingle"),
     )
 
     # user repartition on the join key: AQE-exempt (the 1 MB coalesce floor
@@ -273,6 +273,19 @@ def jaccard_pairs(
     cond = cond & (
         F.least(F.col("a.n_sh"), F.col("b.n_sh"))
         >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    )
+    # positional filter (PPJoin): tokens at 0-based prefix positions
+    # (pa, pb) leave at most min(na-pa, nb-pb) shared tokens from here on.
+    # jaccard >= t  <=>  overlap >= t/(1+t)*(na+nb), and a qualifying
+    # pair's FIRST shared prefix token sees ALL its overlap ahead of it,
+    # so at least one join row always survives — conservative, exact.
+    cond = cond & (
+        F.least(
+            F.col("a.n_sh") - F.col("a.pos"),
+            F.col("b.n_sh") - F.col("b.pos"),
+        )
+        >= F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n_sh") + F.col("b.n_sh"))
     )
     cand = (
         a.join(b, cond)
