@@ -1709,6 +1709,129 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Cross-document boilerplate (textops.boilerplate_ngrams): token
+    bigrams occurring in >= 3 distinct docs of the same source are
+    boilerplate; report each doc's distinct-gram count and boilerplate
+    fraction. The (source, gram) count partial-combines map-side and the
+    rejoin is a semi-join on the same key — no all-pairs work, the C4/
+    RefinedWeb line-dedup shape at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.boilerplate_ngrams(d, n=2, min_docs=3).orderBy("doc_id")
+
+
+Q_BOILERPLATE_NGRAMS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1]))
+           AS grams
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+),
+g AS (SELECT doc_id, source, unnest(grams) AS gram FROM t),
+c AS (SELECT source, gram FROM g GROUP BY source, gram
+      HAVING COUNT(*) >= 3),
+nb AS (SELECT g.doc_id, COUNT(*) AS n_boiler
+       FROM g JOIN c USING (source, gram) GROUP BY g.doc_id)
+SELECT t.doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(COALESCE(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+       round(CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE)
+             / greatest(len(grams), 1), 6) AS boiler_frac
+FROM t LEFT JOIN nb USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub (curation.pii_scrub): typed redaction of emails / phone
+    numbers / IPv4 with per-class counts. The synthetic documents carry no
+    PII, so the query injects a deterministic doc_id-derived contact line
+    first (email always, phone on even ids, ip on ids % 3 == 0) and the
+    oracle injects the identical line — the value hash then covers the
+    full scrubbed text, not just zeros. One fused JVM projection, no
+    shuffle."""
+    from sparkcrawl import curation
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" tel 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-0142"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" ip 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return curation.pii_scrub(d).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "scrubbed"
+    ).orderBy("doc_id")
+
+
+def _pii_scrub_sql() -> str:
+    """Oracle mirrors the scrub chain stage by stage from the shared
+    PII_PATTERNS table (single source of truth for the regexes)."""
+    from sparkcrawl.curation import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com'
+              || CASE WHEN doc_id % 2 = 0
+                      THEN ' tel 555-'
+                           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                           || '-0142'
+                      ELSE '' END
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.7'
+                      ELSE '' END AS t
+  FROM documents
+),
+s1 AS (SELECT doc_id,
+              len(regexp_split_to_array(t, '{pats["email"]}')) - 1
+                AS n_email,
+              regexp_replace(t, '{pats["email"]}', '<EMAIL>', 'g') AS t
+       FROM inj),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_split_to_array(t, '{pats["phone"]}')) - 1
+                AS n_phone,
+              regexp_replace(t, '{pats["phone"]}', '<PHONE>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_phone,
+              len(regexp_split_to_array(t, '{pats["ipv4"]}')) - 1
+                AS n_ipv4,
+              regexp_replace(t, '{pats["ipv4"]}', '<IPV4>', 'g') AS t
+       FROM s2)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4, t AS scrubbed
+FROM s3 ORDER BY doc_id
+"""
+
+
+Q_PII_SCRUB_SQL = _pii_scrub_sql()
+
+
+
 QUERIES = {
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
@@ -1760,6 +1883,8 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     "contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, Q_BOILERPLATE_NGRAMS_SQL),
+    "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
     "domain_mix": (q_domain_mix, Q_DOMAIN_MIX_SQL),
     "rep_metrics": (q_rep_metrics, Q_REP_METRICS_SQL),
     "shard_packing": (q_shard_packing, Q_SHARD_PACKING_SQL),

@@ -545,3 +545,59 @@ def rep_metrics(
             6,
         ).alias("top_bigram_share"),
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+) -> DataFrame:
+    """Cross-document boilerplate detection — C4/RefinedWeb line-dedup
+    generalized to token n-grams (the right unit for single-line corpora;
+    on multi-line webtext pass the line array through the same shape): an
+    n-gram is boilerplate within a block (source / host) when it occurs in
+    >= ``min_docs`` DISTINCT documents of that block. Returns per doc
+    (doc_id, n_grams, n_boiler, boiler_frac) over the doc's DISTINCT
+    n-grams.
+
+    Scale shape: per-doc distinct n-grams -> explode -> count per
+    (block, gram). The per-doc array_distinct makes a plain COUNT(*) equal
+    COUNT(DISTINCT doc) — no distinct aggregation — and the count
+    partial-combines map-side. Flagged grams rejoin docs with a semi-join
+    keyed (block, gram), then a per-doc count: every shuffle keys on
+    (block, gram) or doc_id, nothing is all-pairs, so the op holds at
+    corpus scale where boilerplate removal normally runs (trillions of
+    grams, billions of docs).
+    """
+    sh = with_shingles(docs, n, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct("shingles").alias("grams"),
+    )
+    g = sh.select("doc_id", "blk", F.explode("grams").alias("gram"))
+    boiler = (
+        g.groupBy("blk", "gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("blk", "gram")
+    )
+    nb = (
+        g.join(boiler, ["blk", "gram"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    base = sh.select("doc_id", F.size("grams").alias("n_grams"))
+    return base.join(nb, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long")
+        .alias("n_boiler"),
+        F.round(
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)),
+            6,
+        ).alias("boiler_frac"),
+    )

@@ -172,3 +172,88 @@ def test_pack_shards_window_partitions_by_pid(spark, docs):
 def test_pack_shards_rejects_bad_budget(spark, docs):
     with pytest.raises(ValueError):
         curation.pack_shards(_tok_counts(docs), 0)
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_hand_computed(spark):
+    rows = [
+        (0, "mail a.b+c@ex-ample.co.uk now"),
+        (1, "call 555-123-4567 or 555-000-1111"),
+        (2, "host 192.168.0.1 up"),
+        (3, "none here"),
+        (4, "x@y.io at 10.0.0.7 tel 123-456-7890"),
+        (5, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_phone"], r["n_ipv4"], r["scrubbed"])
+        for r in curation.pii_scrub(d).collect()
+    }
+    assert got[0] == (1, 0, 0, "mail <EMAIL> now")
+    assert got[1] == (0, 2, 0, "call <PHONE> or <PHONE>")
+    assert got[2] == (0, 0, 1, "host <IPV4> up")
+    assert got[3] == (0, 0, 0, "none here")
+    assert got[4] == (1, 1, 1, "<EMAIL> at <IPV4> tel <PHONE>")
+    assert got[5] == (0, 0, 0, "")
+
+
+def test_pii_scrub_no_shuffle_no_udf(spark):
+    """One fused projection: no Exchange, no Python in the plan."""
+    d = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = curation.pii_scrub(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_pii_scrub_earlier_class_not_double_counted(spark):
+    """An email's host looks nothing like an ip here, but a phone-ish
+    email local part must be consumed by the email pass only."""
+    d = spark.createDataFrame(
+        [(1, "reach 555-123-4567@ex.com ok")], "doc_id long, text string"
+    )
+    r = curation.pii_scrub(d).collect()[0]
+    assert (r["n_email"], r["n_phone"]) == (1, 0)
+    assert r["scrubbed"] == "reach <EMAIL> ok"
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_ngrams_hand_computed(spark):
+    """'the end' appears in 3 docs of src0 -> boilerplate there; the same
+    bigram in src1 appears once -> clean (blocking is per source)."""
+    rows = [
+        (0, "alpha beta the end", "src0"),
+        (1, "gamma delta the end", "src0"),
+        (2, "zz yy the end", "src0"),
+        (3, "the end", "src1"),
+        (4, "solo", "src1"),  # 1 token -> 0 grams
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler"], r["boiler_frac"])
+        for r in textops.boilerplate_ngrams(d, n=2, min_docs=3).collect()
+    }
+    assert got[0] == (3, 1, round(1 / 3, 6))
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (1, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    """A doc repeating a gram 10 times counts ONCE toward min_docs — the
+    per-doc array_distinct is what makes COUNT(*) == COUNT(DISTINCT doc)."""
+    rows = [
+        (0, "spam ham " * 10, "s"),  # 'spam ham' many times, one doc
+        (1, "clean words here", "s"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r["n_boiler"]
+           for r in textops.boilerplate_ngrams(d, 2, 2).collect()}
+    assert out[0] == 0 and out[1] == 0
