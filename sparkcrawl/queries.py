@@ -1832,6 +1832,101 @@ Q_PII_SCRUB_SQL = _pii_scrub_sql()
 
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Flagship composed curation pipeline — the end-to-end path a crawl
+    corpus takes to training shards, as ONE declarative plan Catalyst
+    optimizes whole: heuristic language gate -> quality-score gate ->
+    exact dedup (keep min doc_id per md5) -> cross-doc boilerplate gate
+    (computed among survivors) -> deterministic stratified sample ->
+    token-budget shard packing. Every stage is an already-oracle-verified
+    operator; this entry verifies their COMPOSITION (filter ordering,
+    column flow, survivor-set semantics) value-for-value."""
+    from sparkcrawl import curation
+
+    d = _t(spark, sf_dir, "documents")
+    d1 = textops.with_lang_id(d).filter(F.col("lang_guess") == "en")
+    d2 = textops.with_quality(d1).filter(F.col("quality_score") >= 0.25)
+    d3 = textops.dedup_exact(d2)
+    bp = textops.boilerplate_ngrams(d3, n=2, min_docs=3).filter(
+        F.col("boiler_frac") <= 0.6
+    )
+    d4 = d3.join(bp.select("doc_id", "boiler_frac"), "doc_id")
+    kept = curation.stratified_sample(d4).select("doc_id")
+    d5 = d4.join(kept, "doc_id", "left_semi")
+    packed = curation.pack_shards(
+        d5.select("doc_id", "n_tokens"), budget=1024
+    ).select("doc_id", "n_tokens", "shard_id")
+    return (
+        d5.select("doc_id", "lang", "quality_score", "boiler_frac")
+        .join(packed, "doc_id")
+        .select(
+            "doc_id", "lang", "quality_score", "boiler_frac",
+            F.col("n_tokens").cast("long").alias("n_tokens"), "shard_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_CURATION_PIPELINE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text, lang, source,
+         regexp_split_to_array(trim(text), '\\s+') AS tokens
+  FROM documents
+),
+l AS (
+  SELECT * FROM toks
+  WHERE CAST(len(list_filter(tokens, t ->
+          list_contains([{_STOPS_SQL}], lower(t)))) AS DOUBLE)
+        / greatest(len(tokens), 1) >= 0.05
+),
+q AS (
+  SELECT *, CAST(len(tokens) AS BIGINT) AS n_tokens,
+         round(least(len(tokens) / 100.0, 1.0) *
+               (1 - round(CAST(length(text) -
+                length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                AS DOUBLE) / greatest(length(text), 1), 6)), 6)
+           AS quality_score
+  FROM l
+),
+q2 AS (SELECT * FROM q WHERE quality_score >= 0.25),
+d AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+              AS rn
+    FROM q2
+  ) WHERE rn = 1
+),
+g0 AS (SELECT doc_id, source,
+              list_distinct(list_transform(range(1, len(tokens)),
+                            i -> tokens[i] || ' ' || tokens[i+1])) AS grams
+       FROM d),
+gg AS (SELECT doc_id, source, unnest(grams) AS gram FROM g0),
+bc AS (SELECT source, gram FROM gg GROUP BY source, gram
+       HAVING COUNT(*) >= 3),
+nb AS (SELECT gg.doc_id, COUNT(*) AS n_boiler
+       FROM gg JOIN bc USING (source, gram) GROUP BY gg.doc_id),
+bf AS (SELECT g0.doc_id,
+              round(CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE)
+                    / greatest(len(grams), 1), 6) AS boiler_frac
+       FROM g0 LEFT JOIN nb USING (doc_id)),
+d4 AS (SELECT d.*, bf.boiler_frac FROM d JOIN bf USING (doc_id)
+       WHERE bf.boiler_frac <= 0.6),
+s AS (SELECT * FROM d4
+      WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+            CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+                      WHEN 'fr' THEN '4000' ELSE '2000' END),
+c AS (SELECT doc_id, lang, quality_score, boiler_frac, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s)
+SELECT doc_id, lang, quality_score, boiler_frac,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 1024 AS BIGINT) AS shard_id
+FROM c ORDER BY doc_id
+"""
+
+
+
 QUERIES = {
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
@@ -1885,6 +1980,7 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "boilerplate_ngrams": (q_boilerplate_ngrams, Q_BOILERPLATE_NGRAMS_SQL),
     "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
+    "curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
     "domain_mix": (q_domain_mix, Q_DOMAIN_MIX_SQL),
     "rep_metrics": (q_rep_metrics, Q_REP_METRICS_SQL),
     "shard_packing": (q_shard_packing, Q_SHARD_PACKING_SQL),
