@@ -1927,6 +1927,100 @@ FROM c ORDER BY doc_id
 
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic link graph (each doc links
+    to 3 arithmetic neighbors mod N — same construction in the oracle):
+    5 power-iteration sweeps of components.pagerank. The oracle unrolls
+    the sweeps as chained CTEs (the ann_ivf_kmeans trick), so the
+    iterative distributed job is value-hash-verified end to end."""
+    from sparkcrawl import components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    e = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[(F.col("doc_id") * 7 + 13 * j + 1) % n for j in range(3)]
+            )
+        ).alias("dst"),
+    )
+    return components.pagerank(
+        e, nodes=d.select(F.col("doc_id").alias("v")), iters=5
+    ).orderBy("v")
+
+
+Q_PAGERANK_SQL = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nd AS (SELECT doc_id AS v FROM documents),
+e AS (
+  SELECT doc_id AS src,
+         (doc_id * 7 + 13 * j.j + 1) % (SELECT n FROM nn) AS dst
+  FROM documents, (SELECT unnest(range(0, 3)) AS j) j
+),
+dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT doc_id AS v, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+       FROM documents),
+r1 AS (
+  SELECT nd.v AS v,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * COALESCE(SUM(r0.r / dg.deg), 0) AS r
+  FROM nd
+  LEFT JOIN e ON e.dst = nd.v
+  LEFT JOIN dg ON dg.src = e.src
+  LEFT JOIN r0 ON r0.v = e.src
+  GROUP BY nd.v
+),
+r2 AS (
+  SELECT nd.v AS v,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * COALESCE(SUM(r1.r / dg.deg), 0) AS r
+  FROM nd
+  LEFT JOIN e ON e.dst = nd.v
+  LEFT JOIN dg ON dg.src = e.src
+  LEFT JOIN r1 ON r1.v = e.src
+  GROUP BY nd.v
+),
+r3 AS (
+  SELECT nd.v AS v,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * COALESCE(SUM(r2.r / dg.deg), 0) AS r
+  FROM nd
+  LEFT JOIN e ON e.dst = nd.v
+  LEFT JOIN dg ON dg.src = e.src
+  LEFT JOIN r2 ON r2.v = e.src
+  GROUP BY nd.v
+),
+r4 AS (
+  SELECT nd.v AS v,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * COALESCE(SUM(r3.r / dg.deg), 0) AS r
+  FROM nd
+  LEFT JOIN e ON e.dst = nd.v
+  LEFT JOIN dg ON dg.src = e.src
+  LEFT JOIN r3 ON r3.v = e.src
+  GROUP BY nd.v
+),
+r5 AS (
+  SELECT nd.v AS v,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * COALESCE(SUM(r4.r / dg.deg), 0) AS r
+  FROM nd
+  LEFT JOIN e ON e.dst = nd.v
+  LEFT JOIN dg ON dg.src = e.src
+  LEFT JOIN r4 ON r4.v = e.src
+  GROUP BY nd.v
+)
+SELECT v, round(r, 6) AS pagerank FROM r5 ORDER BY v
+"""
+
+
+
 QUERIES = {
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
@@ -1981,6 +2075,7 @@ QUERIES = {
     "boilerplate_ngrams": (q_boilerplate_ngrams, Q_BOILERPLATE_NGRAMS_SQL),
     "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
     "curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
+    "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "domain_mix": (q_domain_mix, Q_DOMAIN_MIX_SQL),
     "rep_metrics": (q_rep_metrics, Q_REP_METRICS_SQL),
     "shard_packing": (q_shard_packing, Q_SHARD_PACKING_SQL),

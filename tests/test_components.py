@@ -87,3 +87,45 @@ def test_dedup_clusters_covers_all_docs(spark):
     assert rows[7]["cluster_id"] == 6
     # unpaired docs are their own (kept) cluster
     assert rows[0]["cluster_id"] == 0 and rows[0]["is_canonical"]
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_hand_computed(spark):
+    """2-node cycle + a dangling-in node: ranks match the closed-form
+    power iteration computed in plain Python."""
+    from sparkcrawl.components import pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 0), (2, 0)], "src long, dst long")
+    got = {r["v"]: r["pagerank"]
+           for r in pagerank(e, iters=5, damping=0.85).collect()}
+
+    n, d = 3, 0.85
+    r = {v: 1 / n for v in range(3)}
+    deg = {0: 1, 1: 1, 2: 1}
+    edges = [(0, 1), (1, 0), (2, 0)]
+    for _ in range(5):
+        s = {v: 0.0 for v in range(3)}
+        for u, v in edges:
+            s[v] += r[u] / deg[u]
+        r = {v: (1 - d) / n + d * s[v] for v in range(3)}
+    assert got == {v: round(r[v], 6) for v in range(3)}
+
+
+def test_pagerank_mass_conserved_and_width_independent(spark):
+    """No dangling nodes -> total rank mass stays 1; result is identical
+    across input partitioning (the determinism contract every engine
+    table op carries)."""
+    from sparkcrawl.components import pagerank
+
+    n = 40
+    rows = [(i, (i * 7 + 13 * j + 1) % n) for i in range(n) for j in range(3)]
+    e1 = spark.createDataFrame(rows, "src long, dst long")
+    e2 = e1.repartition(7)
+    r1 = sorted(pagerank(e1, iters=4).collect())
+    r2 = sorted(pagerank(e2, iters=4).collect())
+    assert r1 == r2
+    assert abs(sum(r["pagerank"] for r in r1) - 1.0) < 1e-4
