@@ -1836,21 +1836,33 @@ def q_curation_pipeline(spark, sf_dir):
     """Flagship composed curation pipeline — the end-to-end path a crawl
     corpus takes to training shards, as ONE declarative plan Catalyst
     optimizes whole: heuristic language gate -> quality-score gate ->
-    exact dedup (keep min doc_id per md5) -> cross-doc boilerplate gate
-    (computed among survivors) -> deterministic stratified sample ->
-    token-budget shard packing. Every stage is an already-oracle-verified
-    operator; this entry verifies their COMPOSITION (filter ordering,
-    column flow, survivor-set semantics) value-for-value."""
+    exact dedup (keep min doc_id per md5) -> cross-doc boilerplate RANK
+    gate (keep the 80% least-boilerplate survivors by (boiler_frac,
+    doc_id) — a corpus-relative quantile, so the gate stays meaningful at
+    any corpus density, unlike an absolute threshold which this synthetic
+    vocabulary saturates past sf0.01; the exact rank rides the
+    partition-free running total, and at 100 TB the same gate runs as an
+    approximate-quantile threshold broadcast) -> deterministic stratified
+    sample -> token-budget shard packing. Every stage is an already-
+    oracle-verified operator; this entry verifies their COMPOSITION
+    (filter ordering, column flow, survivor-set semantics)
+    value-for-value."""
     from sparkcrawl import curation
 
     d = _t(spark, sf_dir, "documents")
     d1 = textops.with_lang_id(d).filter(F.col("lang_guess") == "en")
     d2 = textops.with_quality(d1).filter(F.col("quality_score") >= 0.25)
     d3 = textops.dedup_exact(d2)
-    bp = textops.boilerplate_ngrams(d3, n=2, min_docs=3).filter(
-        F.col("boiler_frac") <= 0.6
+    bp = textops.boilerplate_ngrams(d3, n=2, min_docs=3)
+    ranked = curation.with_running_total(
+        bp.select("boiler_frac", "doc_id", F.lit(1).alias("_one")),
+        "_one", ["boiler_frac", "doc_id"], out_col="_rank",
     )
-    d4 = d3.join(bp.select("doc_id", "boiler_frac"), "doc_id")
+    n_bp = bp.count()
+    gate = ranked.filter(F.col("_rank") <= int(0.8 * n_bp)).select(
+        "doc_id", "boiler_frac"
+    )
+    d4 = d3.join(gate, "doc_id")
     kept = curation.stratified_sample(d4).select("doc_id")
     d5 = d4.join(kept, "doc_id", "left_semi")
     packed = curation.pack_shards(
@@ -1909,8 +1921,12 @@ bf AS (SELECT g0.doc_id,
               round(CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE)
                     / greatest(len(grams), 1), 6) AS boiler_frac
        FROM g0 LEFT JOIN nb USING (doc_id)),
-d4 AS (SELECT d.*, bf.boiler_frac FROM d JOIN bf USING (doc_id)
-       WHERE bf.boiler_frac <= 0.6),
+bfr AS (SELECT doc_id, boiler_frac,
+              row_number() OVER (ORDER BY boiler_frac, doc_id) AS rnk,
+              COUNT(*) OVER () AS n_bp
+       FROM bf),
+d4 AS (SELECT d.*, bfr.boiler_frac FROM d JOIN bfr USING (doc_id)
+       WHERE bfr.rnk <= CAST(floor(0.8 * bfr.n_bp) AS BIGINT)),
 s AS (SELECT * FROM d4
       WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 4) <
             CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'

@@ -257,3 +257,39 @@ def test_boilerplate_counts_distinct_docs_not_occurrences(spark):
     out = {r["doc_id"]: r["n_boiler"]
            for r in textops.boilerplate_ngrams(d, 2, 2).collect()}
     assert out[0] == 0 and out[1] == 0
+
+
+def test_pii_scrub_matches_python_re_reference(spark):
+    """Third engine: the scrub chain re-implemented with Python `re` on a
+    200-doc fragment-pool corpus must agree with the JVM regex path on
+    every count and every scrubbed byte (the duckdb oracle already pins
+    RE2; this pins the Java-regex dialect from the other side)."""
+    import random
+    import re
+
+    frags = [
+        "a@b.co", "u.v+w_x%9@ex-ample.org.uk", "not@an", "x@y.z",
+        "555-123-4567", "555-12-4567", "1555-123-45678", "1.2.3.4",
+        "10.0.0.300", "1.2.3.4.5", "999.88.7", "plain words", "a-b@c",
+        "trailing@dot.co.", "12-34-56", "@@", "", "word 7.7.7.7word",
+    ]
+    rng = random.Random(42)
+    rows = [
+        (i, " ".join(rng.choice(frags) for _ in range(rng.randint(0, 8))))
+        for i in range(200)
+    ]
+
+    def ref(t):
+        counts = []
+        for name, pat in curation.PII_PATTERNS:
+            counts.append(len(re.findall(pat, t)))
+            t = re.sub(pat, f"<{name.upper()}>", t)
+        return (*counts, t)
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_phone"], r["n_ipv4"], r["scrubbed"])
+        for r in curation.pii_scrub(d).collect()
+    }
+    for i, t in rows:
+        assert got[i] == ref(t), (i, t, got[i], ref(t))
