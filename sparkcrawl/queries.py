@@ -2037,6 +2037,48 @@ SELECT v, round(r, 6) AS pagerank FROM r5 ORDER BY v
 
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (relational.asof_join): each click matched to the same
+    user's latest at-or-before view — the time-series attribution join
+    Spark lacks as a built-in. Implemented as a tagged union +
+    last(ignorenulls) carry-forward window (ONE shuffle, on the equality
+    key); the oracle is DuckDB's native ASOF LEFT JOIN. The view side
+    dedups to max event_id per (user, ts) first so the match is
+    deterministic on both engines."""
+    from sparkcrawl.relational import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    j = asof_join(clicks, views, on="ts", by=["user_id"])
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r").alias("view_ts"), "view_event_id",
+    ).orderBy("event_id")
+
+
+Q_ASOF_JOIN_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, MAX(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, v.ts AS view_ts, v.view_event_id
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.event_id
+"""
+
+
+
 QUERIES = {
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
@@ -2059,6 +2101,7 @@ QUERIES = {
     "revenue_per_nation": (q_revenue_per_nation, Q_REVENUE_PER_NATION_SQL),
     "agg_rollup": (q_agg_rollup, Q_AGG_ROLLUP_SQL),
     "range_join_bucketed": (q_range_join_bucketed, Q_RANGE_JOIN_SQL),
+    "asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "minhash_signatures": (q_minhash_signatures, Q_MINHASH_SIGNATURES_SQL),
     "jaccard_pairs": (q_jaccard_pairs, Q_JACCARD_PAIRS_SQL),
