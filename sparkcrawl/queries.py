@@ -2079,6 +2079,63 @@ ORDER BY c.event_id
 
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog (sketches.hll_distinct): distinct users
+    per event type from md5-derived registers, so the oracle rebuilds the
+    identical registers AND the identical estimate — an approximate
+    sketch with an exact cross-engine contract. Two partial-combined
+    aggregations; register traffic is capped at |groups| * 2^p rows no
+    matter the input size."""
+    from sparkcrawl.sketches import hll_distinct
+
+    e = _t(spark, sf_dir, "events")
+    return hll_distinct(e, "user_id", ["event_type"], p=12).orderBy(
+        "event_type"
+    )
+
+
+Q_HLL_DISTINCT_SQL = """
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+),
+b AS (
+  SELECT event_type,
+         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) AS bucket,
+         substr(hx, 4, 12) AS tail
+  FROM h
+),
+r AS (
+  SELECT event_type, bucket,
+         CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 12 THEN 49
+              ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4
+                   + CASE (strpos('0123456789abcdef', substr(tail, length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)) - 1)
+                       WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 3 THEN 2
+                       WHEN 4 THEN 1 WHEN 5 THEN 1 WHEN 6 THEN 1
+                       WHEN 7 THEN 1 ELSE 0 END + 1
+         END AS register
+  FROM b
+),
+mx AS (
+  SELECT event_type, bucket, MAX(register) AS register
+  FROM r GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_buckets,
+         SUM(power(2.0, -register)) AS s
+  FROM mx GROUP BY event_type
+)
+SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+       round(CASE WHEN CAST(0.7211100396160289 AS DOUBLE) * 4096 * 4096 / (s + 4096 - n_buckets)
+                       <= 2.5 * 4096
+                   AND 4096 - n_buckets > 0
+             THEN 4096 * (ln(4096) - ln(4096.0 - n_buckets))
+             ELSE CAST(0.7211100396160289 AS DOUBLE) * 4096 * 4096 / (s + 4096 - n_buckets) END, 2)
+         AS estimate
+FROM agg ORDER BY event_type
+"""
+
+
+
 QUERIES = {
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
@@ -2102,6 +2159,7 @@ QUERIES = {
     "agg_rollup": (q_agg_rollup, Q_AGG_ROLLUP_SQL),
     "range_join_bucketed": (q_range_join_bucketed, Q_RANGE_JOIN_SQL),
     "asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
+    "hll_distinct": (q_hll_distinct, Q_HLL_DISTINCT_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "minhash_signatures": (q_minhash_signatures, Q_MINHASH_SIGNATURES_SQL),
     "jaccard_pairs": (q_jaccard_pairs, Q_JACCARD_PAIRS_SQL),
