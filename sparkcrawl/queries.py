@@ -2136,6 +2136,32 @@ FROM agg ORDER BY event_type
 
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-style regex token counting (the tokenizer-approximating count a
+    training pipeline budgets with, vs q_token_count's whitespace split):
+    a token is an optional-space letter run, digit run, or punctuation
+    run — the GPT-2 pre-tokenizer shape restricted to ASCII classes so
+    the Java-regex and RE2 dialects agree byte-for-byte. Pure JVM
+    projection (regexp_extract_all + size)."""
+    d = _t(spark, sf_dir, "documents")
+    pat = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+        .cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+Q_TOKEN_COUNT_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+
 QUERIES = {
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
@@ -2174,6 +2200,7 @@ QUERIES = {
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "quality": (q_quality, Q_QUALITY_SQL),
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
+    "token_count_bpe": (q_token_count_bpe, Q_TOKEN_COUNT_BPE_SQL),
     "fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
     "xpath_valid": (q_xpath_valid, Q_XPATH_VALID_SQL),
     "xpath_match": (q_xpath_match, Q_XPATH_MATCH_SQL),
