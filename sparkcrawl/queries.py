@@ -1744,6 +1744,56 @@ FROM t LEFT JOIN nb USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def q_dup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span stats (textops.dup_spans, n=5):
+    a token position starts a duplicated window when its 5-gram occurs
+    >= 2 times corpus-wide; overlapping windows merge into maximal spans.
+    Per doc: token count, merged span count, duplicated-token union size,
+    duplicated fraction. The Lee et al. 2022 dedup signal without a
+    distributed suffix array: one gram-hash shuffle + per-doc JVM interval
+    math."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.dup_spans(d, n=5).orderBy("doc_id")
+
+
+Q_DUP_SPANS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 3), i ->
+           struct_pack(pos := i - 1,
+                       gram := array_to_string(toks[i:i+4], ' '))) AS gs
+  FROM t
+),
+p AS (SELECT doc_id, unnest(gs, recursive := true) FROM g),
+c AS (SELECT gram FROM p GROUP BY gram HAVING COUNT(*) >= 2),
+d AS (SELECT p.doc_id, p.pos FROM p JOIN c USING (gram)),
+o AS (
+  SELECT doc_id,
+         pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+  FROM d
+),
+m AS (
+  SELECT doc_id,
+         1 + SUM(CASE WHEN gap > 5 THEN 1 ELSE 0 END) AS n_dup_spans,
+         5 + SUM(CASE WHEN gap IS NULL THEN 0
+                      ELSE least(gap, 5) END) AS n_dup_tokens
+  FROM o GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(m.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(m.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       round(CAST(COALESCE(m.n_dup_tokens, 0) AS DOUBLE)
+             / greatest(b.n_tokens, 1), 6) AS dup_frac
+FROM base b LEFT JOIN m USING (doc_id) ORDER BY b.doc_id
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub (curation.pii_scrub): typed redaction of emails / phone
     numbers / IPv4 with per-class counts. The synthetic documents carry no
@@ -2217,6 +2267,7 @@ QUERIES = {
     "contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "boilerplate_ngrams": (q_boilerplate_ngrams, Q_BOILERPLATE_NGRAMS_SQL),
+    "dup_spans": (q_dup_spans, Q_DUP_SPANS_SQL),
     "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
     "curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),

@@ -601,3 +601,92 @@ def boilerplate_ngrams(
             6,
         ).alias("boiler_frac"),
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a token
+    position starts a duplicated window when its n-token gram occurs >= 2
+    times in the WHOLE corpus (any document, including the same one —
+    within-doc repetition counts, exactly as the suffix-array formulation
+    does). Overlapping or adjacent duplicated windows merge into maximal
+    spans. Returns per doc:
+
+      (doc_id, n_tokens, n_dup_spans, n_dup_tokens, dup_frac)
+
+    where n_dup_tokens is the size of the union of all duplicated windows
+    [p, p+n) and n_dup_spans counts the merged maximal spans (two windows
+    at start positions a < b merge when b - a <= n).
+
+    Spark-first shape instead of a distributed suffix array: one row per
+    token position keyed by md5(gram) — the global occurrence count
+    partial-combines map-side on a uniformly-hashed key (boilerplate
+    mega-grams collapse per-partition before the shuffle), the rejoin is
+    a semi-join on the same key, and the per-doc interval merge is pure
+    JVM array math over the sorted duplicated positions: with consecutive
+    gaps d_k, union size = sum(min(d_k, n)) + n and span count =
+    1 + |{d_k > n}| — no Python, no window over an unpartitioned frame,
+    nothing all-pairs. Per-doc state is bounded by the doc's own token
+    count. At 100 TB the only wide shuffle keys on the 128-bit gram hash.
+    """
+    sh = with_shingles(docs, n, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.size("tokens").alias("n_tokens"),
+        "shingles",
+    )
+    pos = sh.select(
+        "doc_id", F.posexplode("shingles").alias("pos", "gram")
+    ).select("doc_id", "pos", F.md5("gram").alias("gkey"))
+    dup = (
+        pos.groupBy("gkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gkey")
+    )
+    dpos = (
+        pos.join(dup, "gkey", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+    )
+    k = F.size("ps")
+    # gaps between consecutive duplicated start positions (empty when k<2)
+    diffs = F.when(
+        k >= 2,
+        F.zip_with(
+            F.slice("ps", 1, k - 1),
+            F.slice("ps", 2, k - 1),
+            lambda a, b: b - a,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    n_dup_tokens = F.when(k == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            diffs, F.lit(n), lambda acc, d: acc + F.least(d, F.lit(n))
+        )
+    )
+    n_dup_spans = F.when(k == 0, F.lit(0)).otherwise(
+        F.lit(1) + F.size(F.filter(diffs, lambda d: d > n))
+    )
+    merged = dpos.select(
+        "doc_id",
+        n_dup_spans.alias("n_dup_spans"),
+        n_dup_tokens.alias("n_dup_tokens"),
+    )
+    base = sh.select("doc_id", "n_tokens")
+    return base.join(merged, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+        .alias("n_dup_spans"),
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("long")
+        .alias("n_dup_tokens"),
+        F.round(
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -279,3 +279,54 @@ def test_corpus_lines(spark):
     out = corpus_lines(d).collect()
     assert out[0]["value"] == "http://a:80/$$$line1line2line3"
     assert RECORDS_PER_FILE == 10_000
+
+
+def test_dup_spans_brute_force(spark):
+    """dup_spans vs a pure-Python ExactSubstr reference on constructed docs:
+    window union + merged-span counts, within-doc repetition counted,
+    short/empty docs degenerate to zero."""
+    n = 3
+    rows = [
+        # doc 0 and 1 share the leading 5 tokens -> dup windows at 0..2
+        (0, "alpha beta gamma delta epsilon zeta unique0 only0"),
+        (1, "alpha beta gamma delta epsilon eta unique1 only1"),
+        # doc 2: within-doc repetition of 'x y z' -> counts toward >=2
+        (2, "x y z pad2a pad2b pad2c x y z tail2"),
+        (3, "totally disjoint tokens here nothing shared anywhere"),
+        (4, ""),
+        (5, "a b"),  # shorter than n
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # brute-force reference
+    toks = {i: (t.split() if t.strip() else [""]) for i, t in rows}
+    grams: dict[tuple, int] = {}
+    for ts in toks.values():
+        for p in range(max(0, len(ts) - n + 1)):
+            g = tuple(ts[p:p + n])
+            grams[g] = grams.get(g, 0) + 1
+    expect = {}
+    for i, ts in toks.items():
+        pos = [
+            p for p in range(max(0, len(ts) - n + 1))
+            if grams[tuple(ts[p:p + n])] >= 2
+        ]
+        cover = set()
+        for p in pos:
+            cover.update(range(p, p + n))
+        spans = 0
+        prev = None
+        for p in pos:
+            if prev is None or p - prev > n:
+                spans += 1
+            prev = p
+        expect[i] = (len(ts), spans, len(cover))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["n_dup_tokens"])
+        for r in textops.dup_spans(d, n=n).collect()
+    }
+    assert got == expect
+    # sanity on the constructed fixture itself: dups exist where intended
+    assert got[0][2] > 0 and got[1][2] > 0 and got[2][1] == 2
+    assert got[3] == (7, 0, 0) and got[5] == (2, 0, 0)
