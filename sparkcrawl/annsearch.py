@@ -366,3 +366,56 @@ def pairwise_topk_per_label(df: DataFrame, k: int = 5,
     return j.select(
         id_col, "label", F.round(cos, 4).alias("centroid_cosine")
     )
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.5,
+                   k_cells: int = 32, iters: int = 4,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
+    clustering embeddings (kmeans_cells — deterministic k-means) and
+    dropping, WITHIN each cluster, every vector that has a smaller-id
+    neighbor with cosine >= threshold. The min-id convention replaces the
+    paper's keep-farthest-from-centroid pick so the kept set is a pure
+    deterministic function of the data (and SQL-expressible; the oracle
+    replays the unrolled training + the same pair rule).
+
+    Scale shape: the pairwise test runs only WITHIN a cell — the shuffle
+    keys on the cell id, never all-pairs across the corpus, and per-cell
+    work is bounded by sizing k_cells to the corpus (the paper's setup:
+    cluster count grows with N so cluster size stays manageable). Returns
+    one row per input vector: (vec_id, cell, is_kept)."""
+    cents = kmeans_cells(df, k_cells, iters, vec_col, id_col)
+    d = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    d = assign_cells(d, cents)
+    w = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = d.repartition(w, F.col("cell"))
+    a = d.select(F.col("vec_id").alias("id_a"), F.col("_e").alias("_ea"),
+                 "cell")
+    b = d.select(F.col("vec_id").alias("id_b"), F.col("_e").alias("_eb"),
+                 "cell")
+    cos = F.round(
+        _dot(F.col("_ea"), F.col("_eb"))
+        / (_norm(F.col("_ea")) * _norm(F.col("_eb"))),
+        6,
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        d.select("vec_id", F.col("cell").cast("long").alias("cell"))
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            (~F.coalesce(F.col("_dup"), F.lit(False))).alias("is_kept"),
+        )
+    )

@@ -236,3 +236,106 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
         )
         cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
     return docs.select("*", *counts, cur.alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+# The repetition-free subset of the Gopher document-quality filter (Rae et
+# al. 2021, appendix A1.1; the repetition family lives in
+# textops.rep_metrics): word-count bounds, mean-word-length bounds,
+# symbol-to-word ratio, bullet-/ellipsis-line fractions, alphabetic-word
+# fraction, and a required-stopword floor. All thresholds evaluate as
+# INTEGER cross-multiplications (e.g. 10*symbols <= words instead of
+# ratio <= 0.1), so pass/fail never rides a float rounding boundary and
+# any external engine reproduces the exact kept set.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_BULLETS: tuple[str, ...] = ("•", "-", "*")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Gopher rule features + the combined ``passes_gopher`` gate.
+
+    One fused JVM projection over the token/line arrays (higher-order
+    functions only — no UDF, no shuffle, embarrassingly parallel at any
+    scale; the filter composes with a scan-level pushdown when used as a
+    gate). Rules, with their integer-form tests:
+
+      50 <= n_words <= 100000
+      3 <= mean word length <= 10      (3n <= sum_len <= 10n)
+      symbol-to-word ratio <= 0.1      (10 * (#hash + #ellipsis) <= n)
+      bullet-started lines <= 90%      (10 * n_bullet <= 9 * n_lines)
+      ellipsis-ended lines <= 30%      (10 * n_ellip_end <= 3 * n_lines)
+      words with an alpha char >= 80%  (5 * n_alpha >= 4 * n)
+      >= 2 distinct Gopher stopwords present
+    """
+    from sparkcrawl.textops import with_tokens
+
+    t = F.col(text_col)
+    d = with_tokens(docs, text_col)
+    toks = F.col("tokens")
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    toks_l = F.transform(toks, F.lower)
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks_l, s),
+        )
+    ).cast("long")
+    # symbols: '#' and ellipsis ('...' counted non-overlapping, '…')
+    n_sym = (
+        (F.length(t) - F.length(F.translate(t, "#", "")))
+        + (F.length(t) - F.length(F.replace(t, F.lit("...")))) / 3
+        + (F.length(t) - F.length(F.translate(t, "…", "")))
+    ).cast("long")
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda line: F.ltrim(line).substr(1, 1).isin(*GOPHER_BULLETS),
+        )
+    ).cast("long")
+    n_ellip_end = F.size(
+        F.filter(
+            lines,
+            lambda line: F.rtrim(line).endswith("...")
+            | F.rtrim(line).endswith("…"),
+        )
+    ).cast("long")
+    passes = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)
+        & (10 * n_sym <= n_words)
+        & (10 * n_bullet <= 9 * n_lines)
+        & (10 * n_ellip_end <= 3 * n_lines)
+        & (5 * n_alpha >= 4 * n_words)
+        & (n_stop >= 2)
+    )
+    six = F.lit(6)
+    return d.select(
+        *docs.columns,
+        n_words.alias("n_words"),
+        F.round(sum_len / F.greatest(n_words, F.lit(1)), six).alias(
+            "mean_word_len"
+        ),
+        F.round(n_sym / F.greatest(n_words, F.lit(1)), six).alias(
+            "symbol_to_word"
+        ),
+        F.round(n_bullet / n_lines, six).alias("bullet_line_frac"),
+        F.round(n_ellip_end / n_lines, six).alias("ellipsis_line_frac"),
+        F.round(n_alpha / F.greatest(n_words, F.lit(1)), six).alias(
+            "alpha_word_frac"
+        ),
+        n_stop.alias("n_stop_hits"),
+        passes.alias("passes_gopher"),
+    )

@@ -1337,6 +1337,58 @@ LIMIT 20
 """)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (annsearch.semantic_dedup): deterministic k-means cells
+    (same trainer as ann_ivf_kmeans), then drop every vector with a
+    smaller-id within-cell neighbor at cosine >= 0.35. Pairwise work never
+    leaves a cell — the 100 TB shape (cluster count scales with N). The
+    oracle unrolls the 4 training sweeps and replays the same pair rule."""
+    e = _t(spark, sf_dir, "embeddings")
+    return annsearch.semantic_dedup(
+        e, threshold=0.35, k_cells=32, iters=4
+    ).orderBy("vec_id")
+
+
+Q_SEMANTIC_DEDUP_SQL = ("""
+WITH d AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         e AS centroid
+  FROM (SELECT vec_id, e FROM d ORDER BY vec_id LIMIT 32)
+),""" + ",".join(_kmeans_sweep_sql(i) for i in range(1, 5)) + """,
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT d.vec_id, d.e, c.cell,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY coalesce(round(
+               list_dot_product(d.e, c.centroid) /
+               (sqrt(list_dot_product(d.e, d.e)) *
+                sqrt(list_dot_product(c.centroid, c.centroid))), 6), -2.0)
+               DESC, c.cell ASC
+           ) AS rn
+    FROM d, c4 c) t
+  WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b USING (cell)
+  WHERE a.vec_id < b.vec_id
+    AND round(list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) *
+               sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+)
+SELECT a.vec_id AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+       (dr.vec_id IS NULL) AS is_kept
+FROM assigned a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+ORDER BY a.vec_id
+""")
+
+
 def q_url_admission_distributed(spark, sf_dir):
     """D1-D3 with the DISTRIBUTED variant's presets
     (FilterConfig.distributed): URL length cap 100
@@ -1791,6 +1843,146 @@ SELECT b.doc_id,
        round(CAST(COALESCE(m.n_dup_tokens, 0) AS DOUBLE)
              / greatest(b.n_tokens, 1), 6) AS dup_frac
 FROM base b LEFT JOIN m USING (doc_id) ORDER BY b.doc_id
+"""
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rules (curation.gopher_rules): word-count /
+    mean-word-length bounds, symbol ratio, bullet- and ellipsis-line
+    fractions, alpha-word fraction, required-stopword floor, and the
+    combined gate. The synthetic docs carry no newlines, stopword variety,
+    or symbols, so the query injects deterministic doc_id-derived arms
+    (stopwords on %3, bullet+ellipsis lines on %5, '###' on %7) and the
+    oracle injects the identical text — every rule exercises both ways.
+    All thresholds test as integer cross-multiplications: the pass set is
+    engine-exact, never a float-rounding artifact."""
+    from sparkcrawl import curation
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" and that of")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\n- bullet item\ntrailing thought..."),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ###")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return (
+        curation.gopher_rules(d)
+        .select(
+            "doc_id", "n_words", "mean_word_len", "symbol_to_word",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+            "n_stop_hits", "passes_gopher",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_GOPHER_RULES_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' and that of' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || '- bullet item' || chr(10)
+                      || 'trailing thought...' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' ###' ELSE '' END AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         (length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3
+         + (length(text) - length(replace(text, '…', ''))) AS n_sym
+  FROM inj
+),
+g AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+         n_sym,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS n_bullet,
+         len(list_filter(lines,
+             l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+           AS n_ellip_end,
+         len(list_filter(toks,
+             x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter(
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+             s -> list_contains(list_transform(toks, x -> lower(x)), s)))
+           AS n_stop
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(CAST(COALESCE(sum_len, 0) AS DOUBLE)
+             / greatest(n_words, 1), 6) AS mean_word_len,
+       round(CAST(n_sym AS DOUBLE) / greatest(n_words, 1), 6)
+         AS symbol_to_word,
+       round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_line_frac,
+       round(CAST(n_ellip_end AS DOUBLE) / n_lines, 6)
+         AS ellipsis_line_frac,
+       round(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1), 6)
+         AS alpha_word_frac,
+       CAST(n_stop AS BIGINT) AS n_stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND COALESCE(sum_len, 0) >= 3 * n_words
+        AND COALESCE(sum_len, 0) <= 10 * n_words
+        AND 10 * n_sym <= n_words
+        AND 10 * n_bullet <= 9 * n_lines
+        AND 10 * n_ellip_end <= 3 * n_lines
+        AND 5 * n_alpha >= 4 * n_words
+        AND n_stop >= 2) AS passes_gopher
+FROM g ORDER BY doc_id
+"""
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    """Corpus-trained unigram LM scoring (textops.unigram_surprisal): per
+    doc the mean token surprisal ln(N/count) in nats — the CCNet
+    perplexity-bucket axis with the LM trained on the corpus itself.
+    Surprisal is integer-quantized per distinct token before the per-doc
+    sum, so the aggregation is exact integer math on any engine/cluster."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.unigram_surprisal(d).orderBy("doc_id")
+
+
+Q_UNIGRAM_SURPRISAL_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        x -> lower(x)) AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS n FROM c),
+s AS (
+  SELECT tok,
+         CAST(round(ln(CAST(tot.n AS DOUBLE) / cnt) * 1000000.0) AS BIGINT)
+           AS surp_q
+  FROM c, tot
+),
+p AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(surp_q) AS sum_surp_q
+  FROM tok JOIN s USING (tok) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum_surp_q AS BIGINT) AS sum_surp_q,
+       CAST(sum_surp_q // n_tokens AS BIGINT) AS mean_surp_q
+FROM p ORDER BY doc_id
 """
 
 
@@ -2268,6 +2460,9 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "boilerplate_ngrams": (q_boilerplate_ngrams, Q_BOILERPLATE_NGRAMS_SQL),
     "dup_spans": (q_dup_spans, Q_DUP_SPANS_SQL),
+    "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
+    "unigram_surprisal": (q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_SQL),
+    "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
     "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
     "curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),

@@ -690,3 +690,53 @@ def dup_spans(
             6,
         ).alias("dup_frac"),
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-trained unigram LM scoring — the CCNet-style "perplexity
+    bucket" signal (Wenzek et al. 2020) with the LM trained on the corpus
+    itself instead of an external KenLM: token surprisal = ln(N / count),
+    per doc the mean surprisal in nats. Low mean = stereotyped/boilerplate
+    docs, high mean = rare-token (often noise) docs — the standard
+    filter-both-tails quality axis.
+
+    Determinism contract: per-token surprisal is quantized to integer
+    micro-nats ONCE per distinct token (round(ln(N/cnt) * quant)), so the
+    per-doc aggregation is an exact integer sum and the per-doc mean is an
+    exact integer floor-division — no float summation-order or rounding-tie
+    dependence across partitions, engines, or cluster sizes. Scale shape:
+    one map-side-combinable token count (shuffle keys on the token), one
+    token-keyed rejoin, one per-doc agg; the only driver value is the
+    corpus token total N (one scalar from an aggregate job).
+    """
+    toks = with_tokens(docs, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform("tokens", F.lower)).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    surp = counts.select(
+        "tok",
+        F.round(F.log(F.lit(float(total)) / F.col("cnt")) * quant)
+        .cast("long")
+        .alias("surp_q"),
+    )
+    per_doc = (
+        toks.join(surp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("surp_q").alias("sum_surp_q"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("sum_surp_q").cast("long").alias("sum_surp_q"),
+        F.expr("sum_surp_q div n_tokens").cast("long").alias("mean_surp_q"),
+    )

@@ -293,3 +293,68 @@ def test_pii_scrub_matches_python_re_reference(spark):
     }
     for i, t in rows:
         assert got[i] == ref(t), (i, t, got[i], ref(t))
+
+
+def test_gopher_rules_per_rule(spark):
+    """Each Gopher rule flips the gate independently on constructed docs;
+    boundary cases sit exactly ON the integer-form thresholds."""
+    from sparkcrawl.curation import gopher_rules
+
+    base = ("the cat and dog that run with joy have " * 5).strip()  # 45w
+    pad = " ".join(f"w{i}" for i in range(5))  # 5 alpha words -> 50 total
+    rows = [
+        (0, base + " " + pad),                       # passes everything
+        (1, base),                                   # 45 words < 50
+        (2, base + " " + pad + " ##########"),       # 51w, 11 symbols
+        (3, ("xx " * 25 + "the of " + "x " * 23).strip()),  # mean len 2ish
+        (4, base + " " + pad + "\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n- k"),
+        (5, "one... two...\n" + base + " " + pad),   # ellipsis lines
+        (6, ("123 456 " * 26).strip() + " the of"),  # digits: alpha frac low
+        (7, (base + " " + pad).replace("the ", "cat ").replace("and ", "dog ")
+             .replace("that ", "run ").replace("with ", "joy ")
+             .replace("have ", "fun ")),             # no stopwords
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(d).collect()}
+
+    assert got[0]["passes_gopher"] is True
+    assert got[0]["n_words"] == 50 and got[0]["n_stop_hits"] >= 2
+    assert got[1]["passes_gopher"] is False          # word-count floor
+    assert got[2]["passes_gopher"] is False          # symbol ratio > 0.1
+    assert got[2]["symbol_to_word"] > 0.1
+    assert got[3]["passes_gopher"] is False          # mean word len < 3
+    assert got[3]["mean_word_len"] < 3
+    assert got[4]["passes_gopher"] is False          # >90% bullet lines
+    assert got[4]["bullet_line_frac"] > 0.9
+    assert got[5]["passes_gopher"] is False          # >30% ellipsis lines
+    assert got[5]["ellipsis_line_frac"] > 0.3
+    assert got[6]["passes_gopher"] is False          # alpha words < 80%
+    assert got[6]["alpha_word_frac"] < 0.8
+    assert got[7]["passes_gopher"] is False          # < 2 stopword hits
+    assert got[7]["n_stop_hits"] < 2
+
+
+def test_gopher_rules_integer_boundaries(spark):
+    """Thresholds are inclusive exactly as the integer forms state: a doc
+    sitting exactly AT a boundary passes (symbol ratio == 0.1, mean word
+    length == 3.0 and == 10.0)."""
+    from sparkcrawl.curation import gopher_rules
+
+    # 50 words, each 3 chars, incl. 2 stopwords -> mean len exactly 3.0;
+    # exactly 5 '#' symbols -> ratio exactly 0.1 (10*5 <= 50)
+    words = ["the", "and"] + ["cat"] * 43 + ["#oo"] * 5
+    assert len(words) == 50 and all(len(w) == 3 for w in words)
+    at3 = " ".join(words)
+    # mean exactly 10.0: the(3)+and(3)+47x10-char+one 24-char = 500 chars
+    words10 = ["the", "and"] + ["alphabetic"] * 47 + ["a" * 24]
+    assert len(words10) == 50
+    assert sum(len(w) for w in words10) == 10 * 50
+    d = spark.createDataFrame(
+        [(0, at3), (1, " ".join(words10))], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(d).collect()}
+    assert got[0]["passes_gopher"] is True
+    assert got[0]["mean_word_len"] == 3.0
+    assert got[0]["symbol_to_word"] == 0.1
+    assert got[1]["passes_gopher"] is True
+    assert got[1]["mean_word_len"] == 10.0

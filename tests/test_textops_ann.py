@@ -330,3 +330,64 @@ def test_dup_spans_brute_force(spark):
     # sanity on the constructed fixture itself: dups exist where intended
     assert got[0][2] > 0 and got[1][2] > 0 and got[2][1] == 2
     assert got[3] == (7, 0, 0) and got[5] == (2, 0, 0)
+
+
+def test_unigram_surprisal_reference(spark):
+    """unigram_surprisal vs an independent Python reference with the same
+    quantization contract (round(ln(N/cnt)*1e6) per distinct token, exact
+    integer per-doc sums, floor-division mean)."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (0, "a a b"),
+        (1, "a c"),
+        (2, "b b a"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cnt = Counter(w for _, t in rows for w in t.split())
+    n = sum(cnt.values())
+    surp = {w: round(math.log(n / c) * 1_000_000) for w, c in cnt.items()}
+    expect = {}
+    for i, t in rows:
+        toks = t.split()
+        s = sum(surp[w] for w in toks)
+        expect[i] = (len(toks), s, s // len(toks))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_surp_q"], r["mean_surp_q"])
+        for r in textops.unigram_surprisal(d).collect()
+    }
+    assert got == expect
+    # rarer tokens -> higher mean surprisal: doc 1 holds the unique 'c'
+    assert got[1][2] > got[0][2]
+
+
+def test_semantic_dedup_planted(spark):
+    """semantic_dedup drops planted exact-duplicate embeddings (cosine 1.0
+    within the same cell) and keeps the min-id representative; vectors far
+    from everything survive."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    # plant: 50 and 51 are exact copies of 0; 52 a copy of 1
+    rows.append((50, list(rows[0][1])))
+    rows.append((51, list(rows[0][1])))
+    rows.append((52, list(rows[1][1])))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r["vec_id"]: r for r in annsearch.semantic_dedup(
+        d, threshold=0.999, k_cells=4, iters=2
+    ).collect()}
+    assert len(out) == len(rows)
+    # copies land in the originals' cells and are dropped; originals kept
+    assert out[50]["cell"] == out[0]["cell"]
+    assert not out[50]["is_kept"] and not out[51]["is_kept"]
+    assert not out[52]["is_kept"]
+    assert out[0]["is_kept"] and out[1]["is_kept"]
+    # at 0.999 nothing else collides in 8-dim random space
+    assert sum(not r["is_kept"] for r in out.values()) == 3
