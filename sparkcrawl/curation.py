@@ -93,9 +93,11 @@ def domain_mix(docs: DataFrame) -> DataFrame:
     """Docs / chars / corpus share per (source, lang) cell.
 
     One partial-aggregated groupBy; the corpus total joins back as a
-    1-row broadcast over a constant key (BroadcastHashJoin — stays inside
-    the codegen span; a crossJoin would plan BroadcastNestedLoopJoin).
-    Post-agg cardinality is |sources| x |langs|, tiny at any corpus size.
+    1-row broadcast over a constant key (Catalyst folds the constant
+    equality and plans BroadcastNestedLoopJoin — with a single broadcast
+    row that is one comparison per stream row, the right shape at any
+    scale). Post-agg cardinality is |sources| x |langs|, tiny at any
+    corpus size.
     """
     g = docs.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
@@ -338,4 +340,112 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         n_stop.alias("n_stop_hits"),
         passes.alias("passes_gopher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(docs: DataFrame, target_col: str = "is_target",
+                 text_col: str = "text", n_buckets: int = 4096,
+                 quant: int = 1_000_000) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how target-like its hashed-bigram feature distribution is.
+
+    Two Laplace-smoothed bag-of-hashed-ngrams models are fit in one pass —
+    the TARGET model over docs where ``target_col`` is true, the RAW model
+    over the whole corpus — and a doc's weight is the summed per-feature
+    log-likelihood ratio:
+
+        lam[b]  = ln( ((cnt_t[b]+1) * (N_raw+B)) /
+                      ((cnt_r[b]+1) * (N_t+B)) )        per bucket b
+        weight  = sum over the doc's bigram features of lam[bucket(g)]
+
+    Features are lowercased word bigrams hashed to B buckets by the first
+    3 hex chars of md5 (B=4096 == the full 3-hex range), the same
+    cross-engine idiom as the HLL sketch; lam is quantized ONCE per bucket
+    to integer micro-nats (round(lam*quant)), so per-doc sums are exact
+    integer math — the kept set never rides a float summation order.
+    The paper's Gumbel-top-k resample is replaced by the deterministic
+    sign gate ``target_like = weight_q > 0`` (more target-like than raw);
+    downstream resamplers can threshold weight_q however they like.
+
+    Scale shape: one explode -> ONE partial-combined agg keyed by bucket
+    (output <= B rows, broadcast back), one per-doc agg. The model tables
+    and corpus totals ride a 1-row / B-row broadcast — nothing about the
+    corpus size ever reaches the driver.
+    """
+    from sparkcrawl.textops import with_shingles
+
+    b = F.lit(n_buckets)
+    d = with_shingles(docs, n=2, text_col=text_col).select(
+        "doc_id",
+        F.col(target_col).alias("_t"),
+        F.transform("shingles", F.lower).alias("_grams"),
+    )
+    feat = d.select(
+        "doc_id",
+        "_t",
+        F.explode("_grams").alias("_g"),
+    ).select(
+        "doc_id",
+        "_t",
+        F.conv(F.substring(F.md5("_g"), 1, 3), 16, 10)
+        .cast("int")
+        .alias("bucket"),
+    )
+    cnt = feat.groupBy("bucket").agg(
+        F.count("*").alias("cnt_r"),
+        F.sum(F.col("_t").cast("long")).alias("cnt_t"),
+    )
+    tot = cnt.agg(
+        F.sum("cnt_r").alias("_nr"), F.sum("cnt_t").alias("_nt")
+    ).withColumn("_one", F.lit(1))
+    lam = (
+        cnt.withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.col("cnt_t") + 1) * (F.col("_nr") + b)).cast(
+                        "double"
+                    )
+                    / ((F.col("cnt_r") + 1) * (F.col("_nt") + b)).cast(
+                        "double"
+                    )
+                )
+                * quant
+            )
+            .cast("long")
+            .alias("lam_q"),
+        )
+    )
+    per_doc = (
+        feat.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("lam_q").alias("weight_q"),
+        )
+    )
+    return (
+        d.select("doc_id", F.col("_t").alias("is_target"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias(
+                "n_feats"
+            ),
+            F.coalesce(F.col("weight_q"), F.lit(0)).cast("long").alias(
+                "weight_q"
+            ),
+            (F.coalesce(F.col("weight_q"), F.lit(0)) > 0).alias(
+                "target_like"
+            ),
+        )
     )

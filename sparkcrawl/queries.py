@@ -1986,6 +1986,119 @@ FROM p ORDER BY doc_id
 """
 
 
+BM25_QUERY_TERMS = ("vector", "stream", "dup", "customer")
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (textops.bm25_search) for a fixed 4-term
+    query over the documents table: top-20 docs by (score desc, doc_id).
+    Per-(doc, term) scores are quantized to integer micro-units before the
+    per-doc sum, so the ranking (and the top-k cut) is engine-exact; the
+    physical plan is a TakeOrdered over the scored hits — no global sort,
+    nothing corpus-sized crosses a single task."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.bm25_search(d, list(BM25_QUERY_TERMS), k=20)
+
+
+Q_BM25_SEARCH_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        x -> lower(x)) AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, len(toks) AS dl,
+         list_filter(toks,
+             x -> x IN ('vector', 'stream', 'dup', 'customer')) AS hits
+  FROM t
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(hits) AS term FROM d)
+  GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+s AS (
+  SELECT doc_id,
+         CAST(round(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2)
+           / (tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+           * 1000000.0) AS BIGINT) AS s_q
+  FROM tf JOIN dft USING (term), tot
+),
+p AS (
+  SELECT doc_id, COUNT(*) AS n_terms_hit, SUM(s_q) AS score_q
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+       CAST(score_q AS BIGINT) AS score_q
+FROM p ORDER BY score_q DESC, doc_id LIMIT 20
+"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (curation.dsir_weights): hashed-bigram
+    log-likelihood-ratio scores against the target model fit on the
+    lang='en' slice, raw model on the whole corpus. Per-bucket log ratios
+    are quantized to integer micro-nats before the per-doc sum, so the
+    target_like gate is engine-exact; the md5-3-hex bucket (B=4096) is
+    the same cross-engine idiom as the HLL sketch."""
+    from sparkcrawl import curation
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_target")
+    )
+    return curation.dsir_weights(d).orderBy("doc_id")
+
+
+Q_DSIR_WEIGHTS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        x -> lower(x)) AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_t, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+),
+f AS (
+  SELECT doc_id, is_t,
+         (strpos('0123456789abcdef', substr(md5(gram), 1, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(gram), 2, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(gram), 3, 1)) - 1)
+           AS bucket
+  FROM g
+),
+c AS (
+  SELECT bucket, COUNT(*) AS cnt_r,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t
+  FROM f GROUP BY bucket
+),
+tot AS (SELECT SUM(cnt_r) AS nr, SUM(cnt_t) AS nt FROM c),
+lam AS (
+  SELECT bucket,
+         CAST(round(ln(CAST((cnt_t + 1) * (nr + 4096) AS DOUBLE)
+                       / CAST((cnt_r + 1) * (nt + 4096) AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS lam_q
+  FROM c, tot
+),
+p AS (
+  SELECT doc_id, COUNT(*) AS n_feats, SUM(lam_q) AS weight_q
+  FROM f JOIN lam USING (bucket) GROUP BY doc_id
+)
+SELECT t.doc_id, t.is_t AS is_target,
+       CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(COALESCE(p.weight_q, 0) AS BIGINT) AS weight_q,
+       (COALESCE(p.weight_q, 0) > 0) AS target_like
+FROM t LEFT JOIN p USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub (curation.pii_scrub): typed redaction of emails / phone
     numbers / IPv4 with per-class counts. The synthetic documents carry no
@@ -2463,6 +2576,8 @@ QUERIES = {
     "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "unigram_surprisal": (q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_SQL),
     "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
+    "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
+    "bm25_search": (q_bm25_search, Q_BM25_SEARCH_SQL),
     "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
     "curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),

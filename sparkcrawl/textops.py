@@ -740,3 +740,83 @@ def unigram_surprisal(
         F.col("sum_surp_q").cast("long").alias("sum_surp_q"),
         F.expr("sum_surp_q div n_tokens").cast("long").alias("mean_surp_q"),
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (Robertson-Sparck Jones
+    probabilistic idf, the Okapi tf saturation) — the search-engine query
+    the reference crawler feeds (its corpus export is a search-index
+    input; this closes the loop engine-side). Returns the top-k docs by
+    (score desc, doc_id): deterministic total order, TakeOrdered physical
+    plan — no global sort materializes.
+
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))       (always > 0)
+        s(d, t)     = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        score(d)    = sum over query terms of s(d, t)
+
+    Determinism contract: s(d, t) is computed as ONE double expression and
+    quantized to integer micro-units per (doc, term); the per-doc score is
+    an exact integer sum, so ranking never depends on float summation
+    order across terms, partitions, or engines. Scale shape: the tf table
+    only holds (doc, query-term) hits — the explode filters to the query
+    vocabulary before any shuffle; df (<= |terms| rows) and the corpus
+    totals (1 row) ride broadcasts. Nothing corpus-sized is sorted: top-k
+    is a per-partition heap + driver merge of k rows.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    d = with_tokens(docs, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform("tokens", F.lower).alias("_toks"),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        F.filter("_toks", lambda x: F.array_contains(terms, x)).alias(
+            "_hits"
+        ),
+    )
+    tf = (
+        d.select("doc_id", "dl", F.explode("_hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    tot = d.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).withColumn("_one", F.lit(1))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    s = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    per_doc = (
+        scored.select(
+            "doc_id",
+            F.round(s * quant).cast("long").alias("s_q"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_hit"),
+            F.sum("s_q").cast("long").alias("score_q"),
+        )
+    )
+    return per_doc.orderBy(F.desc("score_q"), "doc_id").limit(k)

@@ -358,3 +358,70 @@ def test_gopher_rules_integer_boundaries(spark):
     assert got[0]["symbol_to_word"] == 0.1
     assert got[1]["passes_gopher"] is True
     assert got[1]["mean_word_len"] == 10.0
+
+
+def test_dsir_weights_python_reference(spark):
+    """dsir_weights vs an independent hashlib/math reference implementing
+    the same contract (md5-3-hex bucket, Laplace counts, micro-nat
+    quantized per-bucket log ratio, exact integer per-doc sums)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from sparkcrawl.curation import dsir_weights
+
+    rows = [
+        (0, "good clean prose about the topic", True),
+        (1, "good clean prose about the topic", True),
+        (2, "spam spam buy now spam buy", False),
+        (3, "five distinct rare words here", False),
+        (4, "one", False),  # no bigrams -> weight 0, not target_like
+    ]
+    B = 4096
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:3], 16)
+
+    feats = {
+        i: [
+            bucket(f"{a} {b}")
+            for a, b in zip(t.lower().split(), t.lower().split()[1:])
+        ]
+        for i, t, _ in rows
+    }
+    cnt_r = Counter(b for f in feats.values() for b in f)
+    cnt_t = Counter(b for i, _, tgt in rows if tgt for b in feats[i])
+    nr, nt = sum(cnt_r.values()), sum(cnt_t.values())
+    lam = {
+        b: round(
+            math.log((cnt_t[b] + 1) * (nr + B) / ((c + 1) * (nt + B)))
+            * 1_000_000
+        )
+        for b, c in cnt_r.items()
+    }
+    expect = {
+        i: (tgt, len(feats[i]), sum(lam[b] for b in feats[i]))
+        for i, _, tgt in rows
+    }
+
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean"
+    )
+    got = {
+        r["doc_id"]: (
+            r["is_target"], r["n_feats"], r["weight_q"], r["target_like"]
+        )
+        for r in dsir_weights(d).collect()
+    }
+    assert len(got) == len(rows)
+    for i, (tgt, nf, w) in expect.items():
+        assert got[i] == (tgt, nf, w, w > 0), (i, got[i], (tgt, nf, w))
+    # At unit scale the Laplace prior dominates: a bucket is net-positive
+    # only when every occurrence is target (cnt_t == cnt_r), so the pure
+    # target docs score target_like and every raw-exclusive doc lands
+    # negative. (At corpus scale counts dwarf the +1 and the gate behaves
+    # like the paper's ratio.)
+    assert got[0][3] and got[1][3]
+    assert not got[2][3] and not got[3][3] and not got[4][3]
+    # 4 distinct once-seen bigrams beat the spam doc's repeated ones
+    assert got[3][2] > got[2][2]

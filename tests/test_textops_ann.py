@@ -391,3 +391,53 @@ def test_semantic_dedup_planted(spark):
     assert out[0]["is_kept"] and out[1]["is_kept"]
     # at 0.999 nothing else collides in 8-dim random space
     assert sum(not r["is_kept"] for r in out.values()) == 3
+
+
+def test_bm25_search_python_reference(spark):
+    """bm25_search vs an independent Python BM25 with the same
+    quantization contract; ranking favors rare-term and short-doc hits."""
+    import math
+
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "apple apple apple apple apple apple apple apple"),
+        (2, "banana cherry durian"),
+        (3, "durian durian"),
+        (4, "plain words only here"),
+    ]
+    terms = ["apple", "durian"]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = {i: t.split() for i, t in rows}
+    n, sum_dl = len(rows), sum(len(v) for v in toks.values())
+    avgdl = sum_dl / n
+    df = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    expect = {}
+    for i, v in toks.items():
+        s, hit = 0, 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            hit += 1
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            raw = idf * (tf * 2.2) / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * len(v) / avgdl)
+            )
+            s += round(raw * 1_000_000)
+        if hit:
+            expect[i] = (hit, s)
+
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["score_q"])
+        for r in textops.bm25_search(d, terms, k=10).collect()
+    }
+    assert got == expect
+    # doc 4 has no query terms -> absent
+    assert 4 not in got
+    # tf saturation + length normalization: the 8x-apple doc tops, the
+    # short dense durian doc beats the mixed docs with tf=1 hits
+    order = sorted(expect, key=lambda i: (-expect[i][1], i))
+    assert order[:2] == [1, 3]
