@@ -200,3 +200,77 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("v", F.round("r", 6).alias("pagerank"))
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — the second classical
+    webgraph score next to pagerank (reference context: the crawl corpus
+    feeds a search engine; HITS ranks link-heavy directories vs linked-to
+    content).
+
+    Fixed ``iters`` sweeps of h = Σ_{u→v} a(v), a = Σ_{u→v} h(u), each
+    normalized by its MAX instead of the usual L2 norm: max of doubles is
+    associativity-free (unlike a global float sum), so the normalizer is
+    bit-identical on any partitioning or engine, and L∞ scaling converges
+    to the same principal-eigenvector direction. Per-node sums carry
+    ≤ degree terms whose association error sits far below the 6dp
+    rounding, the same contract as pagerank.
+
+    Scale shape per sweep: two node-keyed joins + one partial-combined
+    agg + a 1-row broadcast for the max — the pagerank dataflow. Scores
+    localCheckpoint per sweep so the plan stays one-sweep deep.
+    Returns (v, hub, authority) rounded to 6dp.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("v"))
+            .union(e.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+    nodes = nodes.select("v").localCheckpoint(eager=True)
+
+    def _norm(df: DataFrame) -> DataFrame:
+        mx = df.agg(F.max("x").alias("_mx")).withColumn("_one", F.lit(1))
+        return (
+            df.withColumn("_one", F.lit(1))
+            .join(F.broadcast(mx), "_one")
+            .select("v", (F.col("x") / F.col("_mx")).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+
+    auth = nodes.select("v", F.lit(1.0).alias("x"))
+    hub = None
+    for _ in range(iters):
+        hs = (
+            e.join(auth, e["dst"] == auth["v"])
+            .groupBy("src")
+            .agg(F.sum("x").alias("s"))
+        )
+        hub = _norm(
+            nodes.join(hs, nodes["v"] == hs["src"], "left").select(
+                "v", F.coalesce(F.col("s"), F.lit(0.0)).alias("x")
+            )
+        )
+        as_ = (
+            e.join(hub, e["src"] == hub["v"])
+            .groupBy("dst")
+            .agg(F.sum("x").alias("s"))
+        )
+        auth = _norm(
+            nodes.join(as_, nodes["v"] == as_["dst"], "left").select(
+                "v", F.coalesce(F.col("s"), F.lit(0.0)).alias("x")
+            )
+        )
+    return (
+        hub.select("v", F.round("x", 6).alias("hub"))
+        .join(auth.select("v", F.round("x", 6).alias("authority")), "v")
+    )

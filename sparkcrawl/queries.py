@@ -2321,6 +2321,73 @@ def q_pagerank(spark, sf_dir):
     ).orderBy("v")
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (components.hits) over a deterministic
+    synthetic link graph (each doc links to 3 arithmetic neighbors mod N;
+    different multipliers than the pagerank graph). 5 sweeps, each score
+    vector normalized by its max — order-independent, so the iterative
+    job value-hash-matches the oracle's unrolled chained CTEs exactly."""
+    from sparkcrawl import components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    e = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[(F.col("doc_id") * 11 + 17 * j + 3) % n for j in range(3)]
+            )
+        ).alias("dst"),
+    )
+    return components.hits(
+        e, nodes=d.select(F.col("doc_id").alias("v")), iters=5
+    ).orderBy("v")
+
+
+def _hits_sweep_sql(i: int) -> str:
+    """One unrolled HITS sweep (hub from a{i-1}, authority from h{i}).
+    Every CTE is MATERIALIZED: each is referenced twice (values + the MAX
+    scalar subquery), and DuckDB's default CTE inlining would re-execute
+    the whole prior chain per reference — exponential across 5 sweeps."""
+    return f"""
+h{i}raw AS MATERIALIZED (
+  SELECT nd.v AS v, COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS x
+  FROM nd LEFT JOIN (
+    SELECT e.src AS v, SUM(a.x) AS s
+    FROM e JOIN a{i - 1} a ON e.dst = a.v GROUP BY e.src
+  ) s ON nd.v = s.v
+),
+h{i} AS MATERIALIZED (
+  SELECT v, x / (SELECT MAX(x) FROM h{i}raw) AS x FROM h{i}raw
+),
+a{i}raw AS MATERIALIZED (
+  SELECT nd.v AS v, COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS x
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS v, SUM(h.x) AS s
+    FROM e JOIN h{i} h ON e.src = h.v GROUP BY e.dst
+  ) s ON nd.v = s.v
+),
+a{i} AS MATERIALIZED (
+  SELECT v, x / (SELECT MAX(x) FROM a{i}raw) AS x FROM a{i}raw
+)"""
+
+
+Q_HITS_SQL = ("""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nd AS MATERIALIZED (SELECT doc_id AS v FROM documents),
+e AS MATERIALIZED (
+  SELECT doc_id AS src,
+         (doc_id * 11 + 17 * j.j + 3) % (SELECT n FROM nn) AS dst
+  FROM documents, (SELECT unnest(range(0, 3)) AS j) j
+),
+a0 AS (SELECT doc_id AS v, CAST(1.0 AS DOUBLE) AS x FROM documents),"""
+    + ",".join(_hits_sweep_sql(i) for i in range(1, 6))
+    + """
+SELECT h5.v AS v, round(h5.x, 6) AS hub, round(a5.x, 6) AS authority
+FROM h5 JOIN a5 ON h5.v = a5.v ORDER BY h5.v
+""")
+
+
 Q_PAGERANK_SQL = """
 WITH nn AS (SELECT COUNT(*) AS n FROM documents),
 nd AS (SELECT doc_id AS v FROM documents),
@@ -2581,6 +2648,7 @@ QUERIES = {
     "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
     "curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
+    "hits": (q_hits, Q_HITS_SQL),
     "domain_mix": (q_domain_mix, Q_DOMAIN_MIX_SQL),
     "rep_metrics": (q_rep_metrics, Q_REP_METRICS_SQL),
     "shard_packing": (q_shard_packing, Q_SHARD_PACKING_SQL),

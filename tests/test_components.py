@@ -129,3 +129,35 @@ def test_pagerank_mass_conserved_and_width_independent(spark):
     r2 = sorted(pagerank(e2, iters=4).collect())
     assert r1 == r2
     assert abs(sum(r["pagerank"] for r in r1) - 1.0) < 1e-4
+
+
+def test_hits_hand_computed(spark):
+    """Hub/authority scores on a small directed graph match the plain
+    Python power iteration with the same max-normalization; the pure hub
+    (links out, nothing in) and pure authority (linked to by all) land
+    at the extremes."""
+    from sparkcrawl.components import hits
+
+    # 0,1,2 all link to 3; 0 also links to 1 -> 3 is the authority,
+    # 0 the strongest hub; 3 has no out-links (hub 0)
+    edges = [(0, 3), (1, 3), (2, 3), (0, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["v"]: (r["hub"], r["authority"]) for r in hits(e, iters=5).collect()
+    }
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    a = {v: 1.0 for v in nodes}
+    h = {}
+    for _ in range(5):
+        h = {v: sum(a[d] for s, d in edges if s == v) for v in nodes}
+        mx = max(h.values())
+        h = {v: x / mx for v, x in h.items()}
+        a = {v: sum(h[s] for s, d in edges if d == v) for v in nodes}
+        mx = max(a.values())
+        a = {v: x / mx for v, x in a.items()}
+    expect = {v: (round(h[v], 6), round(a[v], 6)) for v in nodes}
+    assert got == expect
+    assert got[3] == (0.0, 1.0)          # pure authority
+    assert got[0][0] == 1.0              # strongest hub
+    assert got[0][1] == 0.0              # nothing links to 0
