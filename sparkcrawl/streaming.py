@@ -25,6 +25,7 @@ __all__ = [
     "corpus_lines",
     "start_corpus_export",
     "stateful_sessionize",
+    "streaming_dedup",
 ]
 
 
@@ -141,6 +142,35 @@ def stateful_sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming content dedup — the continuous P1 (DocumentParserBolt.java
+    content-seen check; batch analogue textops.dedup_exact): as crawl
+    output appends, keep the FIRST document per content hash and drop
+    re-fetches arriving within the watermark horizon.
+
+    Built on ``dropDuplicatesWithinWatermark`` keyed by md5(text): exact
+    duplicates are suppressed as long as they arrive within ``watermark``
+    of the kept row's event time; state for a hash is evicted once the
+    watermark passes it, so state size is bounded by the dedup horizon ×
+    arrival rate, never by corpus size — the only state contract that
+    holds on an unbounded crawl. (A crawl re-fetching the same content
+    MONTHS later is the recrawl path, engine.init_recrawl — not this
+    operator's job.) On a batch frame, falls back to the deterministic
+    min-first dropDuplicates for parity testing.
+    """
+    d = docs.withColumn("content_md5", F.md5(F.col(text_col)))
+    if d.isStreaming:
+        return d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_md5"]
+        )
+    return d.dropDuplicates(["content_md5"])
 
 
 def corpus_lines(crawled: DataFrame) -> DataFrame:

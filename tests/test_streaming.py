@@ -178,3 +178,57 @@ def test_streaming_corpus_export(spark, tmp_path):
     # K1 parity: newline-stripped body after the $$$ separator
     sample = {ln.split("$$$")[0]: ln.split("$$$")[1] for ln in lines}
     assert sample["http://h7.example.com:80/p7.html"] == "body 7line2line3"
+
+
+DOCS_SCHEMA = "doc_id long, text string, ts timestamp"
+
+
+def test_streaming_dedup_suppresses_within_watermark(spark, tmp_path):
+    """streaming_dedup: exact re-fetches arriving within the watermark are
+    dropped, first arrival wins (file order = arrival order with
+    maxFilesPerTrigger=1); the kept hash set equals the batch distinct
+    set."""
+    import datetime as dt
+
+    from sparkcrawl.streaming import read_event_stream, streaming_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "docs")
+    batches = [
+        [(0, "alpha body", t0), (1, "beta body", t0)],
+        # re-fetch of doc 0's content 5s later (inside the 30s watermark)
+        # + one new content
+        [(2, "alpha body", t0 + dt.timedelta(seconds=5)),
+         (3, "gamma body", t0 + dt.timedelta(seconds=6))],
+        [(4, "beta body", t0 + dt.timedelta(seconds=10))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    # register the directory as one globbed source
+    stream = streaming_dedup(
+        read_event_stream(
+            spark, f"{src}/b*", DOCS_SCHEMA, max_files_per_trigger=1
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_test").collect()
+
+    all_rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(all_rows, DOCS_SCHEMA)
+    want_hashes = {
+        r["content_md5"]
+        for r in streaming_dedup(batch_df).collect()
+    }
+    assert {r["content_md5"] for r in got} == want_hashes
+    assert len(got) == 3  # one row per distinct content
+    # first arrival won: the kept doc_ids are the originals, not re-fetches
+    assert {r["doc_id"] for r in got} == {0, 1, 3}
