@@ -1075,6 +1075,57 @@ FROM e JOIN cvec USING (label)
 """
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language length quantiles (p50/p90/p99 of n_chars) by
+    rank arithmetic: position = ceil(p*n) computed as the INTEGER
+    (p*n+99) div 100 and the value picked at that row_number over
+    (n_chars, doc_id) — a deterministic total order, so the result is
+    engine-exact where interpolated percentile built-ins (percentile_cont
+    / quantile_disc variants) disagree on even counts and tie rules.
+    Both windows share the lang partition key — one shuffle. At 100 TB
+    the same contract runs as a two-pass value-histogram; this is the
+    exact form the tests can pin."""
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    wl = W.partitionBy("lang")
+    r = d.withColumn(
+        "rn", F.row_number().over(wl.orderBy("n_chars", "doc_id"))
+    ).withColumn("n", F.count("*").over(wl))
+
+    def pick(p: int):
+        pos = F.expr(f"({p} * n + 99) div 100")
+        return F.max(
+            F.when(F.col("rn") == pos, F.col("n_chars"))
+        ).cast("long").alias(f"p{p}")
+
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            pick(50), pick(90), pick(99),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_LENGTH_QUANTILES_SQL = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN n_chars END)
+            AS BIGINT) AS p50,
+       CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN n_chars END)
+            AS BIGINT) AS p90,
+       CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END)
+            AS BIGINT) AS p99
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
 def q_agg_rollup(spark, sf_dir):
     """Hierarchical rollup aggregate (source -> lang -> grand total) —
     classical-coverage demo of Spark's rollup/grouping-sets path (absent
@@ -2649,6 +2700,7 @@ QUERIES = {
     "curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "hits": (q_hits, Q_HITS_SQL),
+    "length_quantiles": (q_length_quantiles, Q_LENGTH_QUANTILES_SQL),
     "domain_mix": (q_domain_mix, Q_DOMAIN_MIX_SQL),
     "rep_metrics": (q_rep_metrics, Q_REP_METRICS_SQL),
     "shard_packing": (q_shard_packing, Q_SHARD_PACKING_SQL),

@@ -72,3 +72,38 @@ def test_asof_join_rejects_bad_direction(spark):
     l = spark.createDataFrame([(1, 5)], "k long, t long")
     with pytest.raises(ValueError):
         asof_join(l, l, on="t", by=["k"], direction="nearest")
+
+
+def test_length_quantiles_exact_rank_semantics(spark, tmp_path):
+    """q_length_quantiles picks the value at ceil(p*n) in the (n_chars,
+    doc_id) total order — pinned against a plain-Python computation on a
+    fixture with even counts and ties (where interpolating built-ins
+    disagree across engines)."""
+    import math
+
+    from sparkcrawl.queries import q_length_quantiles
+
+    rows = [
+        # en: 10 docs incl. ties at 30
+        *[(i, "en", v) for i, v in enumerate(
+            [10, 20, 30, 30, 30, 40, 50, 60, 70, 80])],
+        # de: a single doc (every quantile = that doc)
+        (100, "de", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["lang"]: r.asDict()
+           for r in q_length_quantiles(spark, str(tmp_path)).collect()}
+
+    by_lang = {}
+    for _, lang, v in rows:
+        by_lang.setdefault(lang, []).append(v)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        for p in (50, 90, 99):
+            want = vals[math.ceil(p * n / 100) - 1]
+            assert got[lang][f"p{p}"] == want, (lang, p, got[lang])
+        assert got[lang]["n_docs"] == n
+    assert got["en"]["p50"] == 30 and got["de"]["p50"] == 7
