@@ -20,7 +20,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 DEFAULT_OPS = ("boilerplate_ngrams", "pii_scrub", "curation_pipeline",
-               "pagerank", "rep_metrics", "lang_id")
+               "pagerank", "rep_metrics", "lang_id",
+               # round-3 additions (all documents-table-only)
+               "dup_spans", "gopher_rules", "unigram_surprisal",
+               "dsir_weights", "bm25_search", "length_quantiles", "hits")
 
 
 def main():
