@@ -449,3 +449,83 @@ def dsir_weights(docs: DataFrame, target_col: str = "is_target",
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level filters
+# ---------------------------------------------------------------------------
+
+# C4 (Raffel et al. 2020, section 2.2) page-level red flags. The public
+# pipeline also consults an external profanity blocklist; the engine takes
+# the list as a parameter (policy, not mechanism) with a tiny default so
+# the code path is exercised.
+C4_PHRASE_FLAGS: tuple[str, ...] = ("lorem ipsum", "javascript")
+C4_DEFAULT_BADWORDS: tuple[str, ...] = ("xxx", "porn")
+C4_TERMINALS: tuple[str, ...] = (".", "!", "?", '"')
+
+
+def c4_line_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    badwords: tuple[str, ...] = C4_DEFAULT_BADWORDS,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, section 2.2):
+    keep only lines with >= ``min_words_per_line`` words that end in
+    terminal punctuation ('.', '!', '?', '"'), then gate the page on
+    >= ``min_kept_lines`` surviving lines, no 'lorem ipsum' / 'javascript'
+    phrase, no '{' (code), and zero blocklist hits.
+
+    One fused JVM projection over the line array (split + filter +
+    array_join — no UDF, no shuffle; composes with scan pushdown as a
+    gate). All tests are exact string predicates, so the kept set and the
+    cleaned text are byte-identical on any engine or partitioning.
+    Returns the input columns + (n_lines, n_kept_lines, clean_text,
+    has_phrase_flag, has_brace, n_badwords, passes_c4).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+    kept = F.filter(
+        lines,
+        lambda line: (
+            F.size(F.split(F.trim(line), r"\s+"))
+            >= F.lit(min_words_per_line)
+        )
+        & F.array_contains(
+            F.array(*[F.lit(c) for c in C4_TERMINALS]),
+            F.rtrim(line).substr(F.length(F.rtrim(line)), F.lit(1)),
+        ),
+    )
+    low = F.lower(t)
+    has_phrase = F.exists(
+        F.array(*[F.lit(p) for p in C4_PHRASE_FLAGS]),
+        lambda p: F.contains(low, p),
+    )
+    has_brace = F.contains(t, F.lit("{"))
+    toks_l = F.transform(F.split(F.trim(t), r"\s+"), F.lower)
+    n_bad = F.size(
+        F.filter(
+            toks_l,
+            lambda x: F.array_contains(
+                F.array(*[F.lit(w) for w in badwords]), x
+            ),
+        )
+    ).cast("long")
+    n_kept = F.size(kept).cast("long")
+    passes = (
+        (n_kept >= min_kept_lines)
+        & ~has_phrase
+        & ~has_brace
+        & (n_bad == 0)
+    )
+    return docs.select(
+        "*",
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        has_phrase.alias("has_phrase_flag"),
+        has_brace.alias("has_brace"),
+        n_bad.alias("n_badwords"),
+        passes.alias("passes_c4"),
+    )

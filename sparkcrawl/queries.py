@@ -1999,6 +1999,104 @@ FROM g ORDER BY doc_id
 """
 
 
+def q_c4_filters(spark, sf_dir):
+    """C4 line-level cleaning (curation.c4_line_filters): the synthetic
+    docs carry no newlines/punctuation, so the query injects deterministic
+    doc_id-derived lines — a kept base line ('.'), an always-dropped short
+    line, a no-terminal line on %3, a kept '!' line on %5, a brace flag on
+    %7, a 'lorem ipsum' phrase line on %11, a blocklist token line on %13
+    — and the oracle injects the identical text, so every predicate
+    (word-count floor, terminal set, each page flag) exercises both ways.
+    min_kept_lines=2 so the pass set is non-trivial at fixture scale. All
+    tests are exact string predicates — engine-exact by construction."""
+    from sparkcrawl import curation
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("."),
+            F.lit("\nshort line."),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nno terminal punctuation on this line here"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nanother well formed sentence with words!"),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\ncurly { badness }"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("\nlorem ipsum dolor sit amet text."),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("\nxxx")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return (
+        curation.c4_line_filters(d, min_kept_lines=2)
+        .select(
+            "doc_id", "n_lines", "n_kept_lines", "clean_text",
+            "has_phrase_flag", "has_brace", "n_badwords", "passes_c4",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_C4_FILTERS_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || '.'
+         || chr(10) || 'short line.'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'no terminal punctuation on this line here'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'another well formed sentence with words!'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'curly { badness }' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet text.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'xxx' ELSE '' END
+           AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+           l -> len(regexp_split_to_array(trim(l), '\s+')) >= 5
+                AND substr(rtrim(l), length(rtrim(l)), 1)
+                    IN ('.', '!', '?', '"')) AS kept
+  FROM inj
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       array_to_string(kept, chr(10)) AS clean_text,
+       (contains(lower(text), 'lorem ipsum')
+        OR contains(lower(text), 'javascript')) AS has_phrase_flag,
+       contains(text, '{') AS has_brace,
+       CAST(len(list_filter(
+           list_transform(regexp_split_to_array(trim(text), '\s+'),
+                          x -> lower(x)),
+           x -> x IN ('xxx', 'porn'))) AS BIGINT) AS n_badwords,
+       (len(kept) >= 2
+        AND NOT (contains(lower(text), 'lorem ipsum')
+                 OR contains(lower(text), 'javascript'))
+        AND NOT contains(text, '{')
+        AND len(list_filter(
+            list_transform(regexp_split_to_array(trim(text), '\s+'),
+                           x -> lower(x)),
+            x -> x IN ('xxx', 'porn'))) = 0) AS passes_c4
+FROM f ORDER BY doc_id
+"""
+
+
 def q_unigram_surprisal(spark, sf_dir):
     """Corpus-trained unigram LM scoring (textops.unigram_surprisal): per
     doc the mean token surprisal ln(N/count) in nats — the CCNet
@@ -2692,6 +2790,7 @@ QUERIES = {
     "boilerplate_ngrams": (q_boilerplate_ngrams, Q_BOILERPLATE_NGRAMS_SQL),
     "dup_spans": (q_dup_spans, Q_DUP_SPANS_SQL),
     "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
+    "c4_filters": (q_c4_filters, Q_C4_FILTERS_SQL),
     "unigram_surprisal": (q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_SQL),
     "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
     "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),

@@ -425,3 +425,35 @@ def test_dsir_weights_python_reference(spark):
     assert not got[2][3] and not got[3][3] and not got[4][3]
     # 4 distinct once-seen bigrams beat the spam doc's repeated ones
     assert got[3][2] > got[2][2]
+
+
+def test_c4_line_filters_per_rule(spark):
+    """Each C4 predicate flips independently on constructed docs; the
+    cleaned text is exactly the kept lines rejoined."""
+    from sparkcrawl.curation import c4_line_filters
+
+    good = "this line has plenty of words and ends properly."
+    rows = [
+        (0, f"{good}\nanother decent sentence with enough words!\n"
+            'a third quoted keeper with five words"'),
+        (1, f"{good}\ntiny line."),                    # 1 kept < 3
+        (2, f"{good}\n{good}\nno terminal punctuation on this one"),
+        (3, f"{good}\n{good}\n{good} lorem IPSUM here."),  # phrase flag
+        (4, f"{good}\n{good}\nif (x) {{ return; }} done."),  # brace
+        (5, f"{good}\n{good}\nthis line mentions xxx and xxx again."),
+        (6, ""),                                       # degenerate
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_line_filters(d).collect()}
+
+    assert got[0]["passes_c4"] is True
+    assert got[0]["n_kept_lines"] == 3
+    assert got[0]["clean_text"] == rows[0][1]  # every line kept verbatim
+    assert got[1]["passes_c4"] is False and got[1]["n_kept_lines"] == 1
+    assert got[2]["passes_c4"] is False and got[2]["n_kept_lines"] == 2
+    assert got[3]["passes_c4"] is False and got[3]["has_phrase_flag"]
+    assert got[4]["passes_c4"] is False and got[4]["has_brace"]
+    assert got[5]["passes_c4"] is False and got[5]["n_badwords"] == 2
+    # doc 5's badword line still counts as a KEPT line (ends '.')
+    assert got[5]["n_kept_lines"] == 3
+    assert got[6]["n_kept_lines"] == 0 and got[6]["clean_text"] == ""
