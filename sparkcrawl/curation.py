@@ -529,3 +529,36 @@ def c4_line_filters(
         n_bad.alias("n_badwords"),
         passes.alias("passes_c4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle
+# ---------------------------------------------------------------------------
+
+
+def deterministic_shuffle(
+    docs: DataFrame, salt: str = "shuf", id_col: str = "doc_id"
+) -> DataFrame:
+    """Global training-order shuffle as a pure function of the data: each
+    doc's shuffle key is md5(salt:doc_id) and its position is the exact
+    global rank in (key, doc_id) order — the "shuffle the corpus before
+    sharding" step every training pipeline runs, made reproducible (change
+    ``salt`` per epoch for a fresh permutation; any external system
+    re-derives the same order).
+
+    Scale shape: rank rides with_running_total's partition-free machinery
+    (range-repartition on the key, per-partition counts, one long per
+    partition through the driver) — never a single-partition
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` funnel. Returns
+    (id_col, shuffle_key, pos) with pos 1-based.
+    """
+    key = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    d = docs.select(
+        F.col(id_col), key.alias("shuffle_key"), F.lit(1).alias("_one")
+    )
+    out = with_running_total(
+        d, "_one", ["shuffle_key", id_col], out_col="pos"
+    )
+    return out.select(id_col, "shuffle_key", F.col("pos").cast("long"))

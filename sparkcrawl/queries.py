@@ -2189,6 +2189,28 @@ FROM p ORDER BY score_q DESC, doc_id LIMIT 20
 """
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle (curation.deterministic_shuffle): the
+    pre-training global permutation as md5(salt:doc_id) rank — exact
+    global position via the partition-free running-total machinery, never
+    a single-partition ORDER BY window. The oracle re-derives the
+    identical permutation with a plain row_number."""
+    from sparkcrawl import curation
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return curation.deterministic_shuffle(d).orderBy("pos")
+
+
+Q_CORPUS_SHUFFLE_SQL = """
+SELECT doc_id,
+       md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(row_number() OVER (
+         ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS pos
+FROM documents ORDER BY pos
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (curation.dsir_weights): hashed-bigram
     log-likelihood-ratio scores against the target model fit on the
@@ -2795,6 +2817,7 @@ QUERIES = {
     "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
     "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
     "bm25_search": (q_bm25_search, Q_BM25_SEARCH_SQL),
+    "corpus_shuffle": (q_corpus_shuffle, Q_CORPUS_SHUFFLE_SQL),
     "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
     "curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),

@@ -457,3 +457,27 @@ def test_c4_line_filters_per_rule(spark):
     # doc 5's badword line still counts as a KEPT line (ends '.')
     assert got[5]["n_kept_lines"] == 3
     assert got[6]["n_kept_lines"] == 0 and got[6]["clean_text"] == ""
+
+
+def test_deterministic_shuffle_matches_hashlib_and_widths(spark, docs):
+    """The permutation equals an independent hashlib re-derivation and is
+    identical across shuffle widths (pure function of the data)."""
+    expect = sorted(
+        (hashlib.md5(f"shuf:{i}".encode()).hexdigest(), i)
+        for i in range(200)
+    )
+    want = {i: pos + 1 for pos, (_, i) in enumerate(expect)}
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for w in ("1", "4"):
+            spark.conf.set("spark.sql.shuffle.partitions", w)
+            got = {
+                r["doc_id"]: r["pos"]
+                for r in curation.deterministic_shuffle(docs).collect()
+            }
+            results.append(got)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert results[0] == want and results[1] == want
