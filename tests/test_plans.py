@@ -200,3 +200,49 @@ def test_connected_components_star_ops_no_cartesian(spark):
     plan = _plan(_small_star(_large_star(sym)))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_pairs_stay_within_cells(spark):
+    """SemDeDup's pairwise test must be an equi-join keyed on the cell —
+    never a cartesian/nested-loop product over the vectors."""
+    from sparkcrawl.annsearch import semantic_dedup
+
+    e = spark.createDataFrame(
+        [(i, [float((i * 3 + d) % 7) - 3.0 for d in range(8)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(semantic_dedup(e, threshold=0.9, k_cells=4, iters=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_model_tables_ride_broadcasts(spark):
+    """DSIR's bucket-model rejoin must broadcast the <= B-row lambda table
+    (BroadcastHashJoin), never shuffle the exploded features against it
+    by sort-merge."""
+    from sparkcrawl.curation import dsir_weights
+
+    d = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{(i + 2) % 5}", i % 2 == 0)
+         for i in range(50)],
+        "doc_id long, text string, is_target boolean",
+    )
+    plan = _plan(dsir_weights(d))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's top-k must plan as TakeOrderedAndProject (per-partition heap
+    + driver merge of k rows) — a global Sort of the scored corpus is the
+    wrong shape at any scale."""
+    from sparkcrawl.textops import bm25_search
+
+    d = spark.createDataFrame(
+        [(i, f"apple w{i} banana w{i + 1}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    plan = _plan(bm25_search(d, ["apple", "banana"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
