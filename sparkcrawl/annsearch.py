@@ -13,7 +13,7 @@ Two paths:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 LSH_DIMS = tuple(range(8))  # dimensions whose sign forms the bucket key
 
@@ -417,5 +417,88 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.5,
             "vec_id",
             "cell",
             (~F.coalesce(F.col("_dup"), F.lit(False))).alias("is_kept"),
+        )
+    )
+
+
+def ann_join_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    k_cells: int = 32,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ANN join: top-k corpus neighbors for EVERY query vector — the
+    retrieval shape real pipelines run (dedup-against-index, RAG corpus
+    lookup), vs the single-vector probes (ivf_topk*). IVF with trained
+    k-means cells: queries rank the shared centroid table (broadcast,
+    k_cells rows) and probe their top-``nprobe`` cells; candidates join on
+    the cell id and verify exactly.
+
+    Scale shape: the only corpus-sized shuffle keys on the cell id; the
+    per-query cell ranking and the final top-k are windows PARTITIONED BY
+    the query id (keyed — never a global sort); the centroid table rides a
+    broadcast. Works for |Q| from 1 to corpus-sized. Determinism: cell
+    ranking and cosines round to 6 dp with id tie-breaks, so the result
+    set is engine-exact (oracle replays the unrolled training + the same
+    probe/top-k rules).
+
+    Returns (query_id, vec_id, cosine, rank) with rank 1..k per query.
+    """
+    cents = kmeans_cells(corpus, k_cells, iters, vec_col, id_col)
+    d = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    d = assign_cells(d, cents)
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qe"),
+    )
+    ccos = F.coalesce(
+        F.round(
+            _dot(F.col("_qe"), F.col("centroid"))
+            / (_norm(F.col("_qe")) * _norm(F.col("centroid"))),
+            6,
+        ),
+        F.lit(-2.0),
+    )
+    wq = W.partitionBy("query_id")
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("_ccos", ccos)
+        .withColumn(
+            "_rn",
+            F.row_number().over(wq.orderBy(F.desc("_ccos"), F.asc("cell"))),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qe", "cell")
+    )
+    cos = F.round(
+        _dot(F.col("_qe"), F.col("_e"))
+        / (_norm(F.col("_qe")) * _norm(F.col("_e"))),
+        6,
+    )
+    return (
+        probes.join(d, "cell")
+        .withColumn("cosine", cos)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                wq.orderBy(F.desc("cosine"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine",
+            F.col("rank").cast("long").alias("rank"),
         )
     )

@@ -1440,6 +1440,76 @@ ORDER BY a.vec_id
 """)
 
 
+def q_ann_join(spark, sf_dir):
+    """Batch ANN join (annsearch.ann_join_topk): top-5 corpus neighbors
+    for every query vector (the vec_id % 50 == 0 slice), IVF over the
+    same trained k-means cells as ann_ivf_kmeans, nprobe=2. The oracle
+    unrolls the 4 training sweeps and replays the probe and top-k rules
+    with the same 6-dp rounding and id tie-breaks."""
+    e = _t(spark, sf_dir, "embeddings")
+    return annsearch.ann_join_topk(
+        e, e.filter(F.col("vec_id") % 50 == 0),
+        k=5, nprobe=2, k_cells=32, iters=4,
+    ).orderBy("query_id", "rank")
+
+
+Q_ANN_JOIN_SQL = ("""
+WITH d AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         e AS centroid
+  FROM (SELECT vec_id, e FROM d ORDER BY vec_id LIMIT 32)
+),""" + ",".join(_kmeans_sweep_sql(i) for i in range(1, 5)) + """,
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT d.vec_id, d.e, c.cell,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY coalesce(round(
+               list_dot_product(d.e, c.centroid) /
+               (sqrt(list_dot_product(d.e, d.e)) *
+                sqrt(list_dot_product(c.centroid, c.centroid))), 6), -2.0)
+               DESC, c.cell ASC
+           ) AS rn
+    FROM d, c4 c) t
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id % 50 = 0),
+probe AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT q.query_id, q.qe, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY coalesce(round(
+               list_dot_product(q.qe, c.centroid) /
+               (sqrt(list_dot_product(q.qe, q.qe)) *
+                sqrt(list_dot_product(c.centroid, c.centroid))), 6), -2.0)
+               DESC, c.cell ASC
+           ) AS rn
+    FROM q, c4 c) t
+  WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(p.qe, a.e) /
+               (sqrt(list_dot_product(p.qe, p.qe)) *
+                sqrt(list_dot_product(a.e, a.e))), 6) AS cosine
+  FROM probe p JOIN assigned a USING (cell)
+)
+SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+         ) AS rn
+  FROM cand) t
+WHERE rn <= 5 ORDER BY query_id, rn
+""")
+
+
 def q_url_admission_distributed(spark, sf_dir):
     """D1-D3 with the DISTRIBUTED variant's presets
     (FilterConfig.distributed): URL length cap 100
@@ -2815,6 +2885,7 @@ QUERIES = {
     "c4_filters": (q_c4_filters, Q_C4_FILTERS_SQL),
     "unigram_surprisal": (q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_SQL),
     "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
+    "ann_join": (q_ann_join, Q_ANN_JOIN_SQL),
     "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
     "bm25_search": (q_bm25_search, Q_BM25_SEARCH_SQL),
     "corpus_shuffle": (q_corpus_shuffle, Q_CORPUS_SHUFFLE_SQL),

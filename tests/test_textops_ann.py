@@ -441,3 +441,55 @@ def test_bm25_search_python_reference(spark):
     # short dense durian doc beats the mixed docs with tf=1 hits
     order = sorted(expect, key=lambda i: (-expect[i][1], i))
     assert order[:2] == [1, 3]
+
+
+def test_ann_join_topk_self_retrieval_and_recall(spark):
+    """ann_join_topk: every query drawn from the corpus retrieves ITSELF
+    at rank 1 (its own cell is by construction its top-ranked probe), and
+    probing all cells reproduces exact brute-force top-k."""
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = e.filter(F.col("vec_id") % 30 == 0)  # 4 queries
+
+    got = annsearch.ann_join_topk(
+        e, qs, k=3, nprobe=2, k_cells=8, iters=2
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 30, 60, 90}
+    for qid, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3]
+        top = min(rs, key=lambda r: r["rank"])
+        assert top["vec_id"] == qid and top["cosine"] == 1.0
+
+    # nprobe = all cells ==> exact brute force (same rounding + tie rule)
+    full = annsearch.ann_join_topk(
+        e, qs, k=3, nprobe=8, k_cells=8, iters=2
+    ).collect()
+    vecs = {i: v for i, v in rows}
+
+    def cos(a, b):
+        import math
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a))
+                 * math.sqrt(sum(y * y for y in b))), 6
+        )
+
+    for qid in (0, 30, 60, 90):
+        want = sorted(
+            ((cos(vecs[qid], v), i) for i, v in vecs.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        got_q = sorted(
+            ((r["cosine"], r["vec_id"]) for r in full
+             if r["query_id"] == qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert got_q == want, (qid, got_q, want)
