@@ -1,0 +1,156 @@
+"""WARC ingestion: Common-Crawl-style WARC files -> the engine's pages
+table (url, warc_ts, html, text, lang) — the missing source edge between
+"a pile of WARC shards" and every operator in this repo.
+
+Format: the plain-text record framing of ISO 28500 (WARC/1.x) — version
+line, header block (Name: value), blank line, Content-Length payload
+bytes, blank-line record separator. ``response`` records may carry either
+a raw HTML payload or a full HTTP response (status line + headers +
+body); both are handled, matching how Common Crawl WARCs store fetches.
+
+Scale shape: Spark's ``binaryFile`` source gives one row per WARC shard
+(Common Crawl ships ~1 GB shards — the natural task granularity), and the
+record parser runs as an Arrow-batched ``mapInPandas`` over those rows,
+so shard parallelism is file parallelism and no driver-side IO exists.
+Gzipped shards (the Common-Crawl on-disk format) are decompressed
+per-file with the stdlib; member-per-record gzip (the CC offset-index
+layout) also decompresses correctly via gzip's multi-member support.
+Parsing is pure bytes -> rows with deterministic output ordering within a
+shard (record order), so ingestion is reproducible on any cluster.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+WARC_RECORD_SCHEMA = (
+    "warc_file string, record_offset long, warc_type string, url string, "
+    "warc_ts string, http_status int, content_type string, html binary"
+)
+
+
+def _parse_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split an HTTP-response payload into (status, content-type, body);
+    a non-HTTP payload passes through as the body."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head, sep, body = payload.partition(b"\r\n\r\n")
+    if not sep:
+        head, sep, body = payload.partition(b"\n\n")
+        if not sep:
+            return None, None, payload
+    lines = head.replace(b"\r\n", b"\n").split(b"\n")
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype = None
+    for ln in lines[1:]:
+        name, _, val = ln.partition(b":")
+        if name.strip().lower() == b"content-type":
+            ctype = val.strip().decode("latin-1") or None
+            break
+    return status, ctype, body
+
+
+def parse_warc_bytes(data: bytes, fname: str = "") -> Iterator[tuple]:
+    """Yield one tuple per WARC record (WARC_RECORD_SCHEMA order).
+
+    Framing only depends on Content-Length, so payloads containing blank
+    lines or stray 'WARC/' strings never desync the parser.
+    """
+    if data[:2] == b"\x1f\x8b":  # gzipped shard (multi-member safe)
+        data = gzip.decompress(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        if not data[pos:].lstrip()[:5] == b"WARC/":
+            break
+        # skip leading blank space from the previous record separator
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        offset = pos
+        head_end = data.find(b"\r\n\r\n", pos)
+        sep_len = 4
+        if head_end == -1:
+            head_end = data.find(b"\n\n", pos)
+            sep_len = 2
+        if head_end == -1:
+            break
+        headers: dict[str, str] = {}
+        head = data[pos:head_end].replace(b"\r\n", b"\n").split(b"\n")
+        for ln in head[1:]:  # head[0] is the version line
+            name, _, val = ln.partition(b":")
+            headers[name.strip().decode("latin-1").lower()] = (
+                val.strip().decode("latin-1")
+            )
+        length = int(headers.get("content-length", "0"))
+        body_start = head_end + sep_len
+        payload = data[body_start : body_start + length]
+        pos = body_start + length
+        status, ctype, body = _parse_http_payload(payload)
+        yield (
+            fname,
+            offset,
+            headers.get("warc-type", ""),
+            headers.get("warc-target-uri") or None,
+            headers.get("warc-date") or None,
+            status,
+            ctype or headers.get("content-type") or None,
+            bytes(body),
+        )
+
+
+def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
+    """WARC shards under ``path`` -> one row per record.
+
+    binaryFile scan (one task per shard) + Arrow-batched mapInPandas —
+    the parse never touches the driver. Whole-shard rows are the right
+    granularity for CC-style ~1 GB shards; for pathological single-file
+    inputs, split the file upstream (record framing is self-contained,
+    but binaryFile intentionally never splits).
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "warc_file", "record_offset", "warc_type", "url",
+            "warc_ts", "http_status", "content_type", "html",
+        ]
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_bytes(bytes(content), str(fpath)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(
+        parse, WARC_RECORD_SCHEMA
+    )
+
+
+def warc_to_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC shards -> the engine input table (url, warc_ts, html, text,
+    lang): keep HTTP-200 HTML ``response`` records and run the same
+    Arrow-batched extractor the crawl loop uses (byte-identical text
+    contract), casting WARC-Date to a timestamp."""
+    from sparkcrawl.extract import with_extracted
+
+    recs = read_warc_records(spark, path).filter(
+        (F.col("warc_type") == "response")
+        & (F.coalesce(F.col("http_status"), F.lit(200)) == 200)
+    )
+    ex = with_extracted(
+        recs.withColumn("_html_str", F.col("html").cast("string")),
+        html_col="_html_str",
+    )
+    return ex.select(
+        "url",
+        F.to_timestamp(F.col("warc_ts")).alias("warc_ts"),
+        "html",
+        F.col("ex_text").alias("text"),
+        F.col("ex_lang").alias("lang"),
+    )
