@@ -22,7 +22,6 @@ shard (record order), so ingestion is reproducible on any cluster.
 from __future__ import annotations
 
 import gzip
-import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -153,4 +152,68 @@ def warc_to_pages(spark: SparkSession, path: str) -> DataFrame:
         "html",
         F.col("ex_text").alias("text"),
         F.col("ex_lang").alias("lang"),
+    )
+
+
+def render_warc_shards(
+    pages: DataFrame,
+    records_per_shard: int = 10_000,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """Pages -> WARC shard blobs: the sink matching read_warc_records, so
+    a crawl corpus round-trips through the standard archive format
+    (export side of the Common-Crawl interchange).
+
+    Shard assignment and record order are pure functions of the data —
+    records sort by (url, ts) globally, shard = rank div records_per_shard
+    via the partition-free running total (pack_shards' machinery), and
+    each shard's bytes concatenate its records in order. Re-running, or
+    running at any cluster width, produces byte-identical shards. The
+    per-shard groupBy bounds memory by shard size — the same ~1 GB unit
+    the read path assumes. Returns (shard_id, n_records, warc_bytes).
+    """
+    from sparkcrawl.curation import with_running_total
+
+    d = pages.select(
+        F.col(url_col).alias("url"),
+        F.date_format(
+            F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ).alias("ts"),
+        F.col(html_col).cast("binary").alias("html"),
+        F.lit(1).alias("_one"),
+    )
+    ranked = with_running_total(d, "_one", ["url", "ts"], out_col="_rank")
+    sharded = ranked.withColumn(
+        "shard_id",
+        F.expr(f"(_rank - 1) div {int(records_per_shard)}").cast("long"),
+    )
+
+    def render(batches):
+        for pdf in batches:
+            out = []
+            for sid, grp in pdf.groupby("shard_id"):
+                grp = grp.sort_values(["url", "ts"])
+                buf = []
+                for url, ts, html in zip(grp["url"], grp["ts"], grp["html"]):
+                    body = bytes(html) if html is not None else b""
+                    head = (
+                        "WARC/1.0\r\n"
+                        "WARC-Type: response\r\n"
+                        f"WARC-Target-URI: {url}\r\n"
+                        f"WARC-Date: {ts}\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode()
+                    buf.append(head + body + b"\r\n\r\n")
+                out.append((int(sid), len(grp), b"".join(buf)))
+            yield pd.DataFrame(
+                out, columns=["shard_id", "n_records", "warc_bytes"]
+            )
+
+    return (
+        sharded.repartition(F.col("shard_id"))
+        .mapInPandas(
+            render, "shard_id long, n_records long, warc_bytes binary"
+        )
     )

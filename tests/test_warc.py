@@ -79,3 +79,49 @@ def test_warc_to_pages_roundtrip(spark, tmp_path):
     assert pages[("http://x.org/b", "2026-01-02T03:04:06")] == (
         "gamma delta", "de"
     )
+
+
+def test_render_warc_shards_roundtrip_and_determinism(spark):
+    """pages -> render_warc_shards -> parse_warc_bytes recovers the exact
+    records; shard bytes are identical across shuffle widths and shard
+    boundaries land on the global (url, ts) rank."""
+    import datetime as dt
+
+    from sparkcrawl.warc import render_warc_shards
+
+    t0 = dt.datetime(2026, 1, 2, 3, 4, 5)
+    rows = [
+        (f"http://h{i % 3}.org/p{i}", t0 + dt.timedelta(seconds=i),
+         f"<html><body>doc {i}</body></html>".encode())
+        for i in range(23)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+
+    def shard_map(width):
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", width)
+            return {
+                r["shard_id"]: (r["n_records"], bytes(r["warc_bytes"]))
+                for r in render_warc_shards(
+                    pages, records_per_shard=10
+                ).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+    got = shard_map("4")
+    assert shard_map("1") == got  # byte-identical across widths
+    assert sorted(got) == [0, 1, 2]
+    assert [got[s][0] for s in (0, 1, 2)] == [10, 10, 3]
+
+    parsed = []
+    for sid in (0, 1, 2):
+        parsed.extend(parse_warc_bytes(got[sid][1], f"s{sid}"))
+    want = sorted(
+        (u, ts.strftime("%Y-%m-%dT%H:%M:%SZ"), h) for u, ts, h in rows
+    )
+    assert [(r[3], r[4], r[7]) for r in parsed] == want
+    assert all(r[2] == "response" for r in parsed)
