@@ -2340,6 +2340,76 @@ FROM t LEFT JOIN p USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail organization (Wenzek et al. 2020): docs
+    ranked by mean unigram surprisal (textops.unigram_surprisal — the
+    corpus-trained LM) and cut into exact tertiles by integer rank
+    arithmetic (3*rank <= n / <= 2n), with the global rank computed
+    partition-free (with_running_total) — no single-partition ORDER BY
+    window at any corpus size."""
+    from sparkcrawl.curation import with_running_total
+
+    d = _t(spark, sf_dir, "documents")
+    s = textops.unigram_surprisal(d).select(
+        "doc_id", "mean_surp_q", F.lit(1).alias("_one")
+    )
+    r = with_running_total(
+        s, "_one", ["mean_surp_q", "doc_id"], out_col="rnk"
+    )
+    tot = r.agg(F.count("*").alias("_n")).withColumn("_k", F.lit(1))
+    out = r.withColumn("_k", F.lit(1)).join(F.broadcast(tot), "_k")
+    bucket = (
+        F.when(3 * F.col("rnk") <= F.col("_n"), F.lit("head"))
+        .when(3 * F.col("rnk") <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(
+        "doc_id",
+        F.col("mean_surp_q").cast("long").alias("mean_surp_q"),
+        F.col("rnk").cast("long").alias("rnk"),
+        bucket.alias("bucket"),
+    ).orderBy("doc_id")
+
+
+Q_PERPLEXITY_BUCKETS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        x -> lower(x)) AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS n FROM c),
+s AS (
+  SELECT tok,
+         CAST(round(ln(CAST(tot.n AS DOUBLE) / cnt) * 1000000.0) AS BIGINT)
+           AS surp_q
+  FROM c, tot
+),
+p AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(surp_q) AS sum_surp_q
+  FROM tok JOIN s USING (tok) GROUP BY doc_id
+),
+m AS (
+  SELECT doc_id,
+         CAST(sum_surp_q // n_tokens AS BIGINT) AS mean_surp_q
+  FROM p
+),
+r AS (
+  SELECT doc_id, mean_surp_q,
+         row_number() OVER (ORDER BY mean_surp_q, doc_id) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM m
+)
+SELECT doc_id, mean_surp_q, CAST(rnk AS BIGINT) AS rnk,
+       CASE WHEN 3 * rnk <= n THEN 'head'
+            WHEN 3 * rnk <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r ORDER BY doc_id
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub (curation.pii_scrub): typed redaction of emails / phone
     numbers / IPv4 with per-class counts. The synthetic documents carry no
@@ -2884,6 +2954,7 @@ QUERIES = {
     "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "c4_filters": (q_c4_filters, Q_C4_FILTERS_SQL),
     "unigram_surprisal": (q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_SQL),
+    "perplexity_buckets": (q_perplexity_buckets, Q_PERPLEXITY_BUCKETS_SQL),
     "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
     "ann_join": (q_ann_join, Q_ANN_JOIN_SQL),
     "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
