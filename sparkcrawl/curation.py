@@ -481,6 +481,10 @@ def c4_line_filters(
     array_join — no UDF, no shuffle; composes with scan pushdown as a
     gate). All tests are exact string predicates, so the kept set and the
     cleaned text are byte-identical on any engine or partitioning.
+    Trim semantics are SPACES-ONLY (0x20): Spark's trim/rtrim and DuckDB's
+    agree on that; a tab-padded line keeps its tabs for the terminal-punct
+    test (pinned by the fuzz parity test against a Python reference using
+    strip(' ')).
     Returns the input columns + (n_lines, n_kept_lines, clean_text,
     has_phrase_flag, has_brace, n_badwords, passes_c4).
     """

@@ -481,3 +481,71 @@ def test_deterministic_shuffle_matches_hashlib_and_widths(spark, docs):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert results[0] == want and results[1] == want
+
+
+def _fuzz_texts(n=200):
+    """Seeded adversarial strings: unicode, CRLF, tabs, punctuation runs,
+    empty/whitespace-only lines, long tokens."""
+    import random
+
+    rng = random.Random(99)
+    frags = [
+        "word", "the", "and", "of", "...", "…", "#", "##", "{", "}",
+        "•", "-", "*", '"', "!", "?", ".", "xxx", "LOREM", "ipsum",
+        "JavaScript", "héllo", "wörld", "日本語", "a" * 40, "", " ", "\t",
+    ]
+    texts = []
+    for _ in range(n):
+        n_lines = rng.randint(0, 6)
+        lines = []
+        for _ in range(n_lines):
+            k = rng.randint(0, 12)
+            lines.append(" ".join(rng.choice(frags) for _ in range(k)))
+        sep = rng.choice(["\n", "\n", "\n"])
+        texts.append(sep.join(lines))
+    return texts
+
+
+def test_c4_fuzz_matches_python_reference(spark):
+    """c4_line_filters on 200 seeded adversarial docs == an independent
+    Python implementation of the same contract, field for field."""
+    from sparkcrawl.curation import (
+        C4_DEFAULT_BADWORDS, C4_PHRASE_FLAGS, C4_TERMINALS, c4_line_filters,
+    )
+    import re
+
+    texts = _fuzz_texts()
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in c4_line_filters(d).collect()}
+
+    # NB: the engine contract is SPACES-ONLY trim — Spark's trim/rtrim
+    # and DuckDB's trim/rtrim both strip 0x20 only (they agree with each
+    # other), so the reference must use strip(' ')/rstrip(' '), not the
+    # all-whitespace Python default.
+    ws = re.compile(r"\s+")
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        kept = [
+            line for line in lines
+            if len(ws.split(line.strip(" "))) >= 5
+            and line.rstrip(" ")[-1:] in C4_TERMINALS
+        ]
+        low = t.lower()
+        has_phrase = any(p in low for p in C4_PHRASE_FLAGS)
+        has_brace = "{" in t
+        toks = [x.lower() for x in ws.split(t.strip(" "))]
+        n_bad = sum(1 for x in toks if x in C4_DEFAULT_BADWORDS)
+        passes = (
+            len(kept) >= 3 and not has_phrase and not has_brace
+            and n_bad == 0
+        )
+        g = got[i]
+        assert g["n_lines"] == len(lines), (i, repr(t))
+        assert g["n_kept_lines"] == len(kept), (i, repr(t), kept)
+        assert g["clean_text"] == "\n".join(kept), (i, repr(t))
+        assert g["has_phrase_flag"] == has_phrase
+        assert g["has_brace"] == has_brace
+        assert g["n_badwords"] == n_bad
+        assert g["passes_c4"] == passes, (i, repr(t))
