@@ -549,3 +549,52 @@ def test_c4_fuzz_matches_python_reference(spark):
         assert g["has_brace"] == has_brace
         assert g["n_badwords"] == n_bad
         assert g["passes_c4"] == passes, (i, repr(t))
+
+
+def test_gopher_fuzz_matches_python_reference(spark):
+    """gopher_rules on the seeded adversarial docs == an independent
+    Python implementation of the integer-form contract (spaces-only trim,
+    non-overlapping '...' counting)."""
+    import re
+
+    from sparkcrawl.curation import GOPHER_BULLETS, GOPHER_STOPWORDS, \
+        gopher_rules
+
+    texts = _fuzz_texts()
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(d).collect()}
+
+    ws = re.compile(r"\s+")
+    for i, t in enumerate(texts):
+        toks = ws.split(t.strip(" "))
+        n = len(toks)
+        sum_len = sum(len(x) for x in toks)
+        toks_l = [x.lower() for x in toks]
+        n_alpha = sum(1 for x in toks if re.search("[A-Za-z]", x))
+        n_stop = sum(1 for s in GOPHER_STOPWORDS if s in toks_l)
+        n_sym = (t.count("#") + t.count("...") + t.count("…"))
+        lines = t.split("\n")
+        n_lines = len(lines)
+        n_bullet = sum(
+            1 for line in lines if line.lstrip(" ")[:1] in GOPHER_BULLETS
+        )
+        n_ellip = sum(
+            1 for line in lines
+            if line.rstrip(" ").endswith("...")
+            or line.rstrip(" ").endswith("…")
+        )
+        passes = (
+            50 <= n <= 100_000
+            and 3 * n <= sum_len <= 10 * n
+            and 10 * n_sym <= n
+            and 10 * n_bullet <= 9 * n_lines
+            and 10 * n_ellip <= 3 * n_lines
+            and 5 * n_alpha >= 4 * n
+            and n_stop >= 2
+        )
+        g = got[i]
+        assert g["n_words"] == n, (i, repr(t))
+        assert g["n_stop_hits"] == n_stop, (i, repr(t))
+        assert g["passes_gopher"] == passes, (i, repr(t), g)
