@@ -566,3 +566,73 @@ def deterministic_shuffle(
         d, "_one", ["shuffle_key", id_col], out_col="pos"
     )
     return out.select(id_col, "shuffle_key", F.col("pos").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb/Dolma-style exact line dedup ACROSS documents: drop any
+    line whose exact content appears in >= ``min_docs`` distinct docs
+    (headers, footers, nav boilerplate), rebuild each doc from its
+    surviving lines in original order. Whitespace-only lines always
+    survive (document structure, not content).
+
+    Scale shape: per-doc-DISTINCT (doc, line-hash) pairs make a plain
+    COUNT(*) the distinct-doc count (no COUNT(DISTINCT) at 10^12-line
+    scale — the boilerplate_ngrams trick); the common-line set semi-joins
+    back on the line hash; reassembly sorts (pos, line) structs per doc —
+    collect order never matters. Shuffles key on the line hash and the
+    doc id only. Returns (doc_id, n_lines, n_kept, clean_text).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "pos", "line"
+        ),
+    )
+    cand = lines.filter(F.trim("line") != "").select(
+        "doc_id", F.md5("line").alias("h")
+    ).distinct()
+    common = (
+        cand.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_docs)
+        .select("h")
+    )
+    kept = lines.join(
+        common,
+        (F.md5(F.col("line")) == common["h"]) & (F.trim("line") != ""),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n", -1))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -2340,6 +2340,74 @@ FROM t LEFT JOIN p USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (curation.line_dedup): shared boilerplate
+    lines are injected on doc_id % 2 and % 3 (dropped — they appear in
+    hundreds of docs) plus one unique marker line per doc (always
+    survives); the base text line itself drops exactly for the planted
+    exact-duplicate docs. The oracle injects identical text and replays
+    the same distinct-doc >= 2 rule."""
+    from sparkcrawl import curation
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nshared boilerplate navigation line"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nshared footer contact line"),
+            ).otherwise(F.lit("")),
+            F.concat(F.lit("\nunique marker "), F.col("doc_id")),
+        ).alias("text"),
+    )
+    return curation.line_dedup(d, min_docs=2).orderBy("doc_id")
+
+
+Q_LINE_DEDUP_SQL = """
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || 'shared boilerplate navigation line'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'shared footer contact line'
+                 ELSE '' END
+         || chr(10) || 'unique marker ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM inj),
+l AS (
+  SELECT doc_id, i - 1 AS pos, lines[i] AS line
+  FROM sp, UNNEST(range(1, len(lines) + 1)) AS r(i)
+),
+cand AS (
+  SELECT DISTINCT doc_id, md5(line) AS h FROM l WHERE trim(line) <> ''
+),
+common AS (
+  SELECT h FROM (SELECT h, COUNT(*) AS c FROM cand GROUP BY h) t
+  WHERE c >= 2
+),
+k AS (
+  SELECT doc_id, pos, line FROM l
+  WHERE trim(line) = '' OR md5(line) NOT IN (SELECT h FROM common)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean
+  FROM k GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(len(s.lines) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(a.clean, '') AS clean_text
+FROM sp s LEFT JOIN agg a USING (doc_id) ORDER BY s.doc_id
+"""
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet's head/middle/tail organization (Wenzek et al. 2020): docs
     ranked by mean unigram surprisal (textops.unigram_surprisal — the
@@ -2953,6 +3021,7 @@ QUERIES = {
     "dup_spans": (q_dup_spans, Q_DUP_SPANS_SQL),
     "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "c4_filters": (q_c4_filters, Q_C4_FILTERS_SQL),
+    "line_dedup": (q_line_dedup, Q_LINE_DEDUP_SQL),
     "unigram_surprisal": (q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_SQL),
     "perplexity_buckets": (q_perplexity_buckets, Q_PERPLEXITY_BUCKETS_SQL),
     "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),

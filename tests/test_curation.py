@@ -598,3 +598,38 @@ def test_gopher_fuzz_matches_python_reference(spark):
         assert g["n_words"] == n, (i, repr(t))
         assert g["n_stop_hits"] == n_stop, (i, repr(t))
         assert g["passes_gopher"] == passes, (i, repr(t), g)
+
+
+def test_line_dedup_hand_computed(spark):
+    """Shared lines drop, unique lines survive in order, whitespace-only
+    lines always survive, fully-boilerplate docs come back empty."""
+    rows = [
+        (0, "NAV BAR\nreal content zero\n\nFOOTER"),
+        (1, "NAV BAR\nreal content one\nFOOTER"),
+        (2, "NAV BAR\nFOOTER"),          # nothing unique -> empty
+        (3, "standalone document"),       # untouched
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in curation.line_dedup(d, min_docs=2).collect()
+    }
+    assert got[0] == (4, 2, "real content zero\n")
+    assert got[1] == (3, 1, "real content one")
+    assert got[2] == (2, 0, "")
+    assert got[3] == (1, 1, "standalone document")
+
+
+def test_line_dedup_within_doc_repeats_dont_count(spark):
+    """A line repeated WITHIN one doc is not cross-doc boilerplate — the
+    per-doc-distinct pairing keeps it (distinct-doc count = 1)."""
+    rows = [
+        (0, "echo echo line\necho echo line\nbody zero"),
+        (1, "body one"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in curation.line_dedup(d, min_docs=2).collect()
+    }
+    assert got[0] == "echo echo line\necho echo line\nbody zero"
