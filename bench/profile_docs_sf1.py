@@ -23,7 +23,9 @@ DEFAULT_OPS = ("boilerplate_ngrams", "pii_scrub", "curation_pipeline",
                "pagerank", "rep_metrics", "lang_id",
                # round-3 additions (all documents-table-only)
                "dup_spans", "gopher_rules", "unigram_surprisal",
-               "dsir_weights", "bm25_search", "length_quantiles", "hits")
+               "dsir_weights", "bm25_search", "length_quantiles", "hits",
+               "c4_filters", "line_dedup", "perplexity_buckets",
+               "corpus_shuffle")
 
 
 def main():
