@@ -67,11 +67,13 @@ def parse_warc_bytes(data: bytes, fname: str = "") -> Iterator[tuple]:
         data = gzip.decompress(data)
     pos, n = 0, len(data)
     while pos < n:
-        if not data[pos:].lstrip()[:5] == b"WARC/":
-            break
-        # skip leading blank space from the previous record separator
-        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+        # skip the previous record's blank-line separator without copying
+        # the remaining buffer (an lstrip() of data[pos:] here would make
+        # shard parsing O(shard_bytes * records))
+        while pos < n and data[pos] in (0x0D, 0x0A):
             pos += 1
+        if data[pos : pos + 5] != b"WARC/":
+            break
         offset = pos
         head_end = data.find(b"\r\n\r\n", pos)
         sep_len = 4
