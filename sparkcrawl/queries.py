@@ -2408,6 +2408,46 @@ FROM sp s LEFT JOIN agg a USING (doc_id) ORDER BY s.doc_id
 """
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Token-window chunking (textops.chunk_docs): 32-token windows with
+    8-token overlap over every document — boundaries are integer
+    arithmetic on the token count, so the chunk set is engine-exact. Pure
+    projection + explode: no shuffle anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.chunk_docs(d, chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+Q_CHUNK_DOCS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 32 THEN 1
+              ELSE CAST(floor((len(toks) - 32 + 24 - 1) / 24.0) AS INT) + 1
+         END AS n_chunks
+  FROM t
+),
+c AS (
+  SELECT doc_id, toks, n, i.i AS chunk_id, i.i * 24 AS start_tok
+  FROM n, UNNEST(range(0, n_chunks)) AS i(i)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(list_slice(toks, start_tok + 1,
+                           least(start_tok + 32, n))) AS BIGINT)
+         AS n_tokens,
+       array_to_string(
+         list_slice(toks, start_tok + 1, least(start_tok + 32, n)), ' ')
+         AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet's head/middle/tail organization (Wenzek et al. 2020): docs
     ranked by mean unigram surprisal (textops.unigram_surprisal — the
@@ -3022,6 +3062,7 @@ QUERIES = {
     "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "c4_filters": (q_c4_filters, Q_C4_FILTERS_SQL),
     "line_dedup": (q_line_dedup, Q_LINE_DEDUP_SQL),
+    "chunk_docs": (q_chunk_docs, Q_CHUNK_DOCS_SQL),
     "unigram_surprisal": (q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_SQL),
     "perplexity_buckets": (q_perplexity_buckets, Q_PERPLEXITY_BUCKETS_SQL),
     "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),

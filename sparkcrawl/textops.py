@@ -820,3 +820,57 @@ def bm25_search(
         )
     )
     return per_doc.orderBy(F.desc("score_q"), "doc_id").limit(k)
+
+
+def chunk_docs(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    chunking step every pretraining/retrieval pipeline runs between
+    curation and tokenization (context packing, RAG passage indexing).
+
+    chunk i covers token offsets [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final window may be short; a doc
+    never yields zero chunks. Pure JVM (sequence + posexplode + slice +
+    array_join): embarrassingly parallel, output rows = ceil growth over
+    input — no shuffle at all, the chunker composes with the scan. Chunk
+    boundaries are integer arithmetic on the token count, so the chunk
+    set is engine-exact. Returns (doc_id, chunk_id, start_tok, n_tokens,
+    chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens: {overlap}, {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    d = with_tokens(docs, text_col)
+    n = F.size("tokens")
+    # n > chunk_tokens: n_chunks = ceil((n - chunk_tokens)/stride) + 1,
+    # the ceil as exact integer math
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor(
+            (n - F.lit(chunk_tokens) + F.lit(stride) - 1)
+            / F.lit(stride)
+        ).cast("int")
+        + 1
+    )
+    ch = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("tokens"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "chunk_id", "_i"
+        ),
+    )
+    start = F.col("chunk_id") * stride
+    piece = F.slice(F.col("tokens"), start + 1, chunk_tokens)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

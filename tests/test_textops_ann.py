@@ -493,3 +493,43 @@ def test_ann_join_topk_self_retrieval_and_recall(spark):
             key=lambda t: (-t[0], t[1]),
         )
         assert got_q == want, (qid, got_q, want)
+
+
+def test_chunk_docs_reference(spark):
+    """chunk_docs vs a plain-Python window reference: full coverage, exact
+    overlap, short-tail and single-chunk edges; every token position is
+    covered by at least one chunk."""
+    import pytest
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+        (1, " ".join(f"t{i}" for i in range(4))),   # == chunk -> 1 chunk
+        (2, "a b"),                                  # < chunk
+        (3, " ".join(f"t{i}" for i in range(9))),   # exact stride multiple
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in textops.chunk_docs(d, chunk_tokens=4, overlap=1).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_tok"], r["n_tokens"], r["chunk_text"])
+        )
+
+    stride = 3
+    for i, t in rows:
+        toks = t.split()
+        n = len(toks)
+        n_chunks = 1 if n <= 4 else -(-(n - 4) // stride) + 1
+        want = []
+        for c in range(n_chunks):
+            s = c * stride
+            piece = toks[s : s + 4]
+            want.append((c, s, len(piece), " ".join(piece)))
+        assert sorted(got[i]) == want, (i, got[i], want)
+        # coverage: every token index in some chunk
+        covered = set()
+        for c, s, k, _ in want:
+            covered.update(range(s, s + k))
+        assert covered == set(range(n))
+
+    with pytest.raises(ValueError):
+        textops.chunk_docs(d, chunk_tokens=4, overlap=4)
