@@ -2408,6 +2408,82 @@ FROM sp s LEFT JOIN agg a USING (doc_id) ORDER BY s.doc_id
 """
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode normalization (textops.normalize_text): the synthetic docs
+    are pure ASCII, so the query injects doc_id-derived arms — a
+    decomposed e+combining-acute on %2 (NFC composes it), curly quotes /
+    dashes / NBSP on %3, zero-width+BOM on %5, CRLF + a BEL control on %7
+    — and the oracle injects identical codepoints via chr(). Python
+    unicodedata NFC and DuckDB nfc_normalize implement the same Unicode
+    algorithm; everything after is exact string replacement."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" cafe\u0301")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    " \u201cquoted\u201d \u2014d\u2013 \u00a0nb"
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" \u200bzero\u200cwidth\ufeffbom"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("\r\nline\x07bell")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        textops.normalize_text(d)
+        .select("doc_id", "norm_text", "was_changed")
+        .orderBy("doc_id")
+    )
+
+
+Q_NORMALIZE_TEXT_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' caf' || 'e' || chr(769) ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' ' || chr(8220) || 'quoted' || chr(8221) || ' '
+                      || chr(8212) || 'd' || chr(8211) || ' '
+                      || chr(160) || 'nb'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ' || chr(8203) || 'zero' || chr(8204) || 'width'
+                      || chr(65279) || 'bom'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(13) || chr(10) || 'line' || chr(7) || 'bell'
+                 ELSE '' END AS text
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, text,
+         replace(replace(replace(replace(replace(replace(replace(
+           regexp_replace(
+             regexp_replace(
+               replace(nfc_normalize(text), chr(13) || chr(10), chr(10)),
+               '[\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}]', '', 'g'),
+             '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+           chr(8216), ''''), chr(8217), ''''),
+           chr(8220), '"'), chr(8221), '"'),
+           chr(8211), '-'), chr(8212), '-'),
+           chr(160), ' ') AS norm_text
+  FROM inj
+)
+SELECT doc_id, norm_text, (text <> norm_text) AS was_changed
+FROM norm ORDER BY doc_id
+"""
+
+
 def q_chunk_docs(spark, sf_dir):
     """Token-window chunking (textops.chunk_docs): 32-token windows with
     8-token overlap over every document — boundaries are integer
@@ -3063,6 +3139,7 @@ QUERIES = {
     "c4_filters": (q_c4_filters, Q_C4_FILTERS_SQL),
     "line_dedup": (q_line_dedup, Q_LINE_DEDUP_SQL),
     "chunk_docs": (q_chunk_docs, Q_CHUNK_DOCS_SQL),
+    "normalize_text": (q_normalize_text, Q_NORMALIZE_TEXT_SQL),
     "unigram_surprisal": (q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_SQL),
     "perplexity_buckets": (q_perplexity_buckets, Q_PERPLEXITY_BUCKETS_SQL),
     "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),

@@ -874,3 +874,55 @@ def chunk_docs(
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+# single-char unifications applied after NFC: curly quotes -> straight,
+# en/em dash -> '-', NBSP -> space. Kept as (from, to) pairs so the SQL
+# oracle can replay them as chained replace() calls.
+NORMALIZE_CHAR_MAP: tuple[tuple[str, str], ...] = (
+    ("‘", "'"), ("’", "'"),
+    ("“", '"'), ("”", '"'),
+    ("–", "-"), ("—", "-"),
+    (" ", " "),
+)
+# C0 controls except \t \n (plus DEL); \r handled by the CRLF fold first
+NORMALIZE_CTRL_RE = "[\\x{0}-\\x{8}\\x{B}-\\x{1F}\\x{7F}]"
+NORMALIZE_ZW_RE = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Pre-tokenization unicode normalization — the cleanup pass every
+    webtext pipeline runs before any token-based op: NFC composition
+    (é as one codepoint, not e+combining-acute), CRLF -> LF, C0
+    control/DEL strip (keeping tab+newline), zero-width/BOM removal, and
+    curly-quote / dash / NBSP unification.
+
+    NFC is the single Python step (Arrow-batched pandas UDF over
+    unicodedata — both it and DuckDB's nfc_normalize implement the same
+    Unicode algorithm, so the oracle matches); everything after is fused
+    JVM regexp/translate. Pure per-row projection: no shuffle, composes
+    with the scan at any size. Adds ``out_col`` + ``was_changed``.
+    """
+    import unicodedata
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None else None
+        )
+
+    cur = nfc(F.col(text_col))
+    cur = F.regexp_replace(cur, "\\r\\n", "\n")
+    cur = F.regexp_replace(cur, NORMALIZE_CTRL_RE, "")
+    cur = F.regexp_replace(cur, NORMALIZE_ZW_RE, "")
+    src = "".join(a for a, _ in NORMALIZE_CHAR_MAP)
+    dst = "".join(b for _, b in NORMALIZE_CHAR_MAP)
+    cur = F.translate(cur, src, dst)
+    return docs.select(
+        "*",
+        cur.alias(out_col),
+        (F.col(text_col) != cur).alias("was_changed"),
+    )

@@ -533,3 +533,44 @@ def test_chunk_docs_reference(spark):
 
     with pytest.raises(ValueError):
         textops.chunk_docs(d, chunk_tokens=4, overlap=4)
+
+
+def test_normalize_text_reference(spark):
+    """normalize_text vs a Python reference of the identical contract on
+    constructed unicode docs."""
+    import unicodedata
+
+    rows = [
+        (0, "plain ascii stays put"),
+        (1, "compose café now"),            # NFC -> café
+        (2, "“curly” ‘q’ — –  end"),
+        (3, "zero​width‌‍﻿gone"),
+        (4, "ctrl\x07\x00here\ttab\nkeeps"),
+        (5, "cr\r\nlf and bare\rcr"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["norm_text"], r["was_changed"])
+        for r in textops.normalize_text(d).collect()
+    }
+
+    def ref(t):
+        import re
+        t = unicodedata.normalize("NFC", t)
+        t = t.replace("\r\n", "\n")
+        t = re.sub("[\x00-\x08\x0b-\x1f\x7f]", "", t)
+        t = re.sub("[​-‍﻿]", "", t)
+        for a, b in (("‘", "'"), ("’", "'"), ("“", '"'),
+                     ("”", '"'), ("–", "-"), ("—", "-"),
+                     (" ", " ")):
+            t = t.replace(a, b)
+        return t
+
+    for i, t in rows:
+        assert got[i] == (ref(t), ref(t) != t), (i, repr(t), got[i])
+    assert got[0] == ("plain ascii stays put", False)
+    assert got[1][0] == "compose café now"
+    assert got[2][0] == '"curly" \'q\' - -  end'
+    assert got[3][0] == "zerowidthgone"
+    assert got[4][0] == "ctrlhere\ttab\nkeeps"
+    assert got[5][0] == "cr\nlf and barecr"
