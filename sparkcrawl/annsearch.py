@@ -227,15 +227,60 @@ def _cell_cosines(cents: list[list[float]]):
     return F.array(*cols)
 
 
-def assign_cells(d: DataFrame, cents: list[list[float]]) -> DataFrame:
+# above this many centroids, assignment switches from the fused literal
+# expression (zero-shuffle, but the generated code embeds k_cells x dim
+# literals — Janino compile time explodes past ~10^4 literals) to a
+# broadcast-join + partial-combined argmax aggregation
+ASSIGN_JOIN_THRESHOLD = 64
+
+
+def assign_cells(
+    d: DataFrame, cents: list[list[float]], id_col: str | None = None
+) -> DataFrame:
     """`cell` = argmax cosine over the centroid list (6-dp-rounded, ties ->
-    smallest cell id via array_position's first match) — deterministic for
-    any partitioning. ``d`` must carry `_e` (array<double>)."""
-    arr = _cell_cosines(cents)
-    return d.withColumn(
-        "cell",
-        (F.array_position(arr, F.array_max(arr)) - 1).cast("int"),
+    smallest cell id) — deterministic for any partitioning. ``d`` must
+    carry `_e` (array<double>).
+
+    Two physical paths with IDENTICAL semantics (A/B-tested):
+    - <= ASSIGN_JOIN_THRESHOLD centroids (or no ``id_col``): one fused
+      JVM expression over a literal centroid array — no shuffle at all.
+    - larger centroid sets (SemDeDup sizes cells to the corpus): the
+      centroid table rides a broadcast, each vector meets every centroid
+      in a map-side crossJoin, and a partial-combined max_by over
+      (rounded cosine, -cell) picks the argmax — generated code stays
+      O(1) in k_cells. Requires ``id_col`` as the unique rejoin key.
+    """
+    if id_col is None or len(cents) <= ASSIGN_JOIN_THRESHOLD:
+        arr = _cell_cosines(cents)
+        return d.withColumn(
+            "cell",
+            (F.array_position(arr, F.array_max(arr)) - 1).cast("int"),
+        )
+    spark = d.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
     )
+    cos = F.coalesce(
+        F.round(
+            _dot(F.col("_e"), F.col("centroid"))
+            / (_norm(F.col("_e")) * _norm(F.col("centroid"))),
+            6,
+        ),
+        F.lit(-2.0),
+    )
+    pick = (
+        d.select(id_col, "_e")
+        .join(F.broadcast(centroids))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cell",
+                F.struct(cos.alias("c"), (-F.col("cell")).alias("nc")),
+            ).alias("cell")
+        )
+    )
+    return d.join(pick, id_col)
 
 
 def kmeans_cells(df: DataFrame, k_cells: int = 32, iters: int = 4,
@@ -262,7 +307,7 @@ def kmeans_cells(df: DataFrame, k_cells: int = 32, iters: int = 4,
     init = d.orderBy(id_col).limit(k_cells).collect()
     cents = [list(r["_e"]) for r in init]
     for _ in range(iters):
-        assigned = assign_cells(d, cents)
+        assigned = assign_cells(d, cents, id_col=id_col)
         got = {
             r["cell"]: list(r["centroid"])
             for r in _quantized_centroids(
@@ -290,7 +335,7 @@ def ivf_topk_kmeans(df: DataFrame, qvec: list[float], k: int = 10,
     d = df.withColumn(
         "_e", F.transform(F.col(vec_col), lambda x: x.cast("double"))
     )
-    d = assign_cells(d, cents)
+    d = assign_cells(d, cents, id_col=id_col)
     spark = df.sparkSession
     centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)],
@@ -390,7 +435,7 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.5,
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
     )
-    d = assign_cells(d, cents)
+    d = assign_cells(d, cents, id_col="vec_id")
     w = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     d = d.repartition(w, F.col("cell"))
     a = d.select(F.col("vec_id").alias("id_a"), F.col("_e").alias("_ea"),
@@ -453,7 +498,7 @@ def ann_join_topk(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
     )
-    d = assign_cells(d, cents)
+    d = assign_cells(d, cents, id_col="vec_id")
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)],

@@ -574,3 +574,39 @@ def test_normalize_text_reference(spark):
     assert got[3][0] == "zerowidthgone"
     assert got[4][0] == "ctrlhere\ttab\nkeeps"
     assert got[5][0] == "cr\nlf and barecr"
+
+
+def test_assign_cells_join_path_equals_expression_path(spark):
+    """The broadcast-join argmax (large-k_cells path) assigns every vector
+    the SAME cell as the fused literal-expression path — forced A/B on
+    identical centroids by toggling the threshold."""
+    import random
+
+    from sparkcrawl import annsearch as A
+
+    rng = random.Random(21)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(150)
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("_e"),
+    )
+    cents = [list(rows[i][1]) for i in range(20)]
+
+    expr = {
+        r["vec_id"]: r["cell"]
+        for r in A.assign_cells(d, cents).collect()
+    }
+    orig = A.ASSIGN_JOIN_THRESHOLD
+    try:
+        A.ASSIGN_JOIN_THRESHOLD = 0  # force the join path
+        join = {
+            r["vec_id"]: r["cell"]
+            for r in A.assign_cells(d, cents, id_col="vec_id").collect()
+        }
+    finally:
+        A.ASSIGN_JOIN_THRESHOLD = orig
+    assert join == expr and len(expr) == 150
