@@ -2682,6 +2682,214 @@ Q_PII_SCRUB_SQL = _pii_scrub_sql()
 
 
 
+def q_quality_pipeline(spark, sf_dir):
+    """Composed QUALITY pipeline over the round-3 op family, one
+    declarative plan: unicode normalize -> C4 line cleaning + page gate ->
+    Gopher rule gate -> corpus-trained surprisal rank gate (drop the
+    noisiest tertile, partition-free rank) -> token-window chunking.
+    Injection arms give every stage real work both ways: stopwords on %3
+    (Gopher floor), a decomposed e+combining-acute on %2 (normalize), a
+    'lorem ipsum' line on %5 (C4 page flag), a terminal '.' so the base
+    line survives C4's line filter. Each stage is individually
+    oracle-verified elsewhere; this row verifies the COMPOSITION."""
+    from sparkcrawl import curation
+    from sparkcrawl.curation import with_running_total
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" and that of to be")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" café")
+            ).otherwise(F.lit("")),
+            F.lit("."),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nlorem ipsum dolor sit amet text."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    base = textops.normalize_text(d).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    c4 = curation.c4_line_filters(base, min_kept_lines=1)
+    s1 = c4.filter(F.col("passes_c4")).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    g = curation.gopher_rules(s1)
+    # s2 fans out to TWO consumers (the surprisal-rank branch and the
+    # final chunk join); truncate lineage at the fan-out — reusing the
+    # UDF-bearing subtree in both branches trips Catalyst's
+    # DeduplicateRelations into an unresolvable attribute (observed:
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), and at scale you'd persist
+    # this survivor set anyway rather than recompute the gates twice.
+    s2 = (
+        g.filter(F.col("passes_gopher"))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    sur = textops.unigram_surprisal(s2).select(
+        "doc_id", "mean_surp_q", F.lit(1).alias("_one")
+    )
+    r = with_running_total(
+        sur, "_one", ["mean_surp_q", "doc_id"], out_col="rnk"
+    )
+    tot = r.agg(F.count("*").alias("_n")).withColumn("_k", F.lit(1))
+    keep = (
+        r.withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+        .filter(3 * F.col("rnk") <= 2 * F.col("_n"))
+        .select("doc_id")
+    )
+    s3 = s2.join(keep, "doc_id")
+    return textops.chunk_docs(s3, chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+Q_QUALITY_PIPELINE_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' and that of to be'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0 THEN ' caf' || 'e' || chr(769)
+                 ELSE '' END
+         || '.'
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet text.'
+                 ELSE '' END AS text
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(replace(
+           regexp_replace(
+             regexp_replace(
+               replace(nfc_normalize(text), chr(13) || chr(10), chr(10)),
+               '[\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}]', '', 'g'),
+             '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+           chr(8216), ''''), chr(8217), ''''),
+           chr(8220), '"'), chr(8221), '"'),
+           chr(8211), '-'), chr(8212), '-'),
+           chr(160), ' ') AS text
+  FROM inj
+),
+cl AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+           l -> len(regexp_split_to_array(trim(l), '\s+')) >= 5
+                AND substr(rtrim(l), length(rtrim(l)), 1)
+                    IN ('.', '!', '?', '"')) AS kept
+  FROM norm
+),
+s1 AS (
+  SELECT doc_id, array_to_string(kept, chr(10)) AS text
+  FROM cl
+  WHERE len(kept) >= 1
+    AND NOT (contains(lower(text), 'lorem ipsum')
+             OR contains(lower(text), 'javascript'))
+    AND NOT contains(text, '{')
+    AND len(list_filter(
+        list_transform(regexp_split_to_array(trim(text), '\s+'),
+                       x -> lower(x)),
+        x -> x IN ('xxx', 'porn'))) = 0
+),
+gf AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         (length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3
+         + (length(text) - length(replace(text, '…', ''))) AS n_sym
+  FROM s1
+),
+s2 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           len(toks) AS n_words,
+           list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+           n_sym, len(lines) AS n_lines,
+           len(list_filter(lines,
+               l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*')))
+             AS n_bullet,
+           len(list_filter(lines,
+               l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+             AS n_ellip,
+           len(list_filter(toks,
+               x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+           len(list_filter(
+               ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+               s -> list_contains(
+                   list_transform(toks, x -> lower(x)), s))) AS n_stop
+    FROM gf) t
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND COALESCE(sum_len, 0) >= 3 * n_words
+    AND COALESCE(sum_len, 0) <= 10 * n_words
+    AND 10 * n_sym <= n_words
+    AND 10 * n_bullet <= 9 * n_lines
+    AND 10 * n_ellip <= 3 * n_lines
+    AND 5 * n_alpha >= 4 * n_words
+    AND n_stop >= 2
+),
+tok AS (
+  SELECT doc_id, unnest(list_transform(
+           regexp_split_to_array(trim(text), '\s+'), x -> lower(x)))
+           AS tok
+  FROM s2
+),
+c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+tt AS (SELECT SUM(cnt) AS n FROM c),
+sq AS (
+  SELECT tok,
+         CAST(round(ln(CAST(tt.n AS DOUBLE) / cnt) * 1000000.0) AS BIGINT)
+           AS surp_q
+  FROM c, tt
+),
+pp AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(surp_q) AS sum_surp_q
+  FROM tok JOIN sq USING (tok) GROUP BY doc_id
+),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY CAST(sum_surp_q // n_tokens AS BIGINT), doc_id
+         ) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM pp
+),
+s3 AS (
+  SELECT s2.doc_id,
+         regexp_split_to_array(trim(s2.text), '\s+') AS toks
+  FROM s2 JOIN r ON s2.doc_id = r.doc_id
+  WHERE 3 * r.rnk <= 2 * r.n
+),
+nc AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 32 THEN 1
+              ELSE CAST(floor((len(toks) - 32 + 24 - 1) / 24.0) AS INT) + 1
+         END AS n_chunks
+  FROM s3
+),
+ch AS (
+  SELECT doc_id, toks, n, i.i AS chunk_id, i.i * 24 AS start_tok
+  FROM nc, UNNEST(range(0, n_chunks)) AS i(i)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(list_slice(toks, start_tok + 1,
+                           least(start_tok + 32, n))) AS BIGINT)
+         AS n_tokens,
+       array_to_string(
+         list_slice(toks, start_tok + 1, least(start_tok + 32, n)), ' ')
+         AS chunk_text
+FROM ch ORDER BY doc_id, chunk_id
+"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """Flagship composed curation pipeline — the end-to-end path a crawl
     corpus takes to training shards, as ONE declarative plan Catalyst
@@ -3149,6 +3357,7 @@ QUERIES = {
     "corpus_shuffle": (q_corpus_shuffle, Q_CORPUS_SHUFFLE_SQL),
     "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
     "curation_pipeline": (q_curation_pipeline, Q_CURATION_PIPELINE_SQL),
+    "quality_pipeline": (q_quality_pipeline, Q_QUALITY_PIPELINE_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "hits": (q_hits, Q_HITS_SQL),
     "length_quantiles": (q_length_quantiles, Q_LENGTH_QUANTILES_SQL),
