@@ -25,7 +25,8 @@ DEFAULT_OPS = ("boilerplate_ngrams", "pii_scrub", "curation_pipeline",
                "dup_spans", "gopher_rules", "unigram_surprisal",
                "dsir_weights", "bm25_search", "length_quantiles", "hits",
                "c4_filters", "line_dedup", "perplexity_buckets",
-               "corpus_shuffle")
+               "corpus_shuffle", "chunk_docs", "normalize_text",
+               "quality_pipeline")
 
 
 def main():
