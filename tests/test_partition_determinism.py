@@ -46,3 +46,30 @@ def test_identical_results_across_partitionings(spark, fixture_paths, tmp_path):
     assert a[1] == b[1], "seen set differs across partitionings"
     assert a[2] == b[2], "extracted text differs across partitionings"
     assert len(a[0]) > 0 and len(a[2]) > 0
+
+
+def test_new_query_catalog_identical_across_widths(spark):
+    """The rank/iterative/k-means query family must return identical rows
+    at different shuffle widths — the catalog-level version of the
+    engine's ordering claim. Covers every round-3 op whose plan contains
+    a global rank, trained cells, or an iterative sweep."""
+    from sparkcrawl.queries import QUERIES
+
+    names = (
+        "hits", "dsir_weights", "semantic_dedup", "ann_join",
+        "perplexity_buckets", "corpus_shuffle", "quality_pipeline",
+    )
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for w in ("3", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", w)
+            for n in names:
+                rows = sorted(map(tuple, QUERIES[n][0](spark, sf).collect()))
+                assert rows, (n, w)
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} differs across shuffle widths"
