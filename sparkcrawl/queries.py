@@ -2524,6 +2524,86 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+def q_backoff_surprisal(spark, sf_dir):
+    """Stupid-Backoff bigram LM scoring (textops.backoff_surprisal):
+    train on the lang='en' slice, score the whole corpus — the CCNet
+    Wikipedia-scores-CommonCrawl shape, so out-of-domain bigrams really
+    hit the backoff arm. Scores quantize to integer micro-nats once per
+    distinct (prev, w) pair; sums and means are exact integer math."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_target")
+    )
+    return textops.backoff_surprisal(d).orderBy("doc_id")
+
+
+Q_BACKOFF_SURPRISAL_SQL = r"""
+WITH t AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        x -> lower(x)) AS toks
+  FROM documents
+),
+inst AS (
+  SELECT doc_id, is_t, toks[i] AS w,
+         CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)
+),
+tr AS (SELECT * FROM inst WHERE is_t),
+nv AS (SELECT COUNT(*) AS n, COUNT(DISTINCT w) + 1 AS v FROM tr),
+uni AS (SELECT w, COUNT(*) AS cnt_w FROM tr GROUP BY w),
+big AS (
+  SELECT prev, w, COUNT(*) AS cnt_pw FROM tr
+  WHERE prev IS NOT NULL GROUP BY prev, w
+),
+pc AS (
+  SELECT prev, COUNT(*) AS cnt_prev FROM tr
+  WHERE prev IS NOT NULL GROUP BY prev
+),
+fs AS (
+  SELECT ft.w,
+         CAST(round(-ln(CAST(COALESCE(uni.cnt_w, 0) + 1 AS DOUBLE)
+                        / (nv.n + nv.v)) * 1000000.0) AS BIGINT) AS surp_q
+  FROM (SELECT DISTINCT w FROM inst WHERE prev IS NULL) ft
+  LEFT JOIN uni ON ft.w = uni.w, nv
+),
+ps AS (
+  SELECT pt.prev, pt.w,
+         CASE WHEN big.cnt_pw IS NOT NULL
+              THEN CAST(round(-ln(CAST(big.cnt_pw AS DOUBLE)
+                                  / pc.cnt_prev) * 1000000.0) AS BIGINT)
+              ELSE CAST(round(-ln(0.4
+                                  * CAST(COALESCE(uni.cnt_w, 0) + 1
+                                         AS DOUBLE)
+                                  / (nv.n + nv.v)) * 1000000.0) AS BIGINT)
+         END AS surp_q,
+         (big.cnt_pw IS NULL) AS is_b
+  FROM (SELECT DISTINCT prev, w FROM inst WHERE prev IS NOT NULL) pt
+  LEFT JOIN big ON pt.prev = big.prev AND pt.w = big.w
+  LEFT JOIN pc ON pt.prev = pc.prev
+  LEFT JOIN uni ON pt.w = uni.w, nv
+),
+sc AS (
+  SELECT i.doc_id, fs.surp_q, FALSE AS is_b
+  FROM inst i JOIN fs ON i.w = fs.w WHERE i.prev IS NULL
+  UNION ALL
+  SELECT i.doc_id, ps.surp_q, ps.is_b
+  FROM inst i JOIN ps ON i.prev = ps.prev AND i.w = ps.w
+  WHERE i.prev IS NOT NULL
+),
+p AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS n_backoff,
+         SUM(surp_q) AS s
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_backoff AS BIGINT) AS n_backoff,
+       CAST(s AS BIGINT) AS sum_surp_q,
+       CAST(s // n_tokens AS BIGINT) AS mean_surp_q
+FROM p ORDER BY doc_id
+"""
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet's head/middle/tail organization (Wenzek et al. 2020): docs
     ranked by mean unigram surprisal (textops.unigram_surprisal — the
@@ -3350,6 +3430,7 @@ QUERIES = {
     "normalize_text": (q_normalize_text, Q_NORMALIZE_TEXT_SQL),
     "unigram_surprisal": (q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_SQL),
     "perplexity_buckets": (q_perplexity_buckets, Q_PERPLEXITY_BUCKETS_SQL),
+    "backoff_surprisal": (q_backoff_surprisal, Q_BACKOFF_SURPRISAL_SQL),
     "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
     "ann_join": (q_ann_join, Q_ANN_JOIN_SQL),
     "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),

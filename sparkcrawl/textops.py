@@ -926,3 +926,136 @@ def normalize_text(
         cur.alias(out_col),
         (F.col(text_col) != cur).alias("was_changed"),
     )
+
+
+def backoff_surprisal(
+    docs: DataFrame,
+    target_col: str = "is_target",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Bigram LM scoring with Stupid Backoff (Brants et al. 2007) — the
+    CCNet setup proper: the LM trains on the TARGET slice (CCNet:
+    Wikipedia) and scores the whole corpus (CCNet: Common Crawl), so
+    out-of-domain bigrams genuinely hit the backoff path, unlike
+    self-scored unigram surprisal where every n-gram is in-corpus.
+
+        seen bigram:   s(w | p) = -ln( cnt(p,w) / cnt(p·) )
+        backoff:       s(w | p) = -ln( alpha * (cnt(w)+1) / (N + V) )
+        first token:   s(w)     = -ln( (cnt(w)+1) / (N + V) )
+
+    with N = train token instances, V = train vocab + 1 (the Laplace
+    +1/(N+V) handles OOV tokens exactly). Determinism contract: scores
+    are quantized to integer micro-nats ONCE per distinct (prev, w) pair
+    (and once per distinct first token), so per-doc sums and means are
+    exact integer math on any engine/partitioning. Scale shape: train
+    counts are map-combinable groupBys; the pair score table is built on
+    the corpus's DISTINCT bigram set and rejoined by (prev, w) — every
+    shuffle keys on a token or bigram; only the two scalars N, V cross
+    the driver. Returns (doc_id, n_tokens, n_backoff, sum_surp_q,
+    mean_surp_q).
+    """
+    inst = with_tokens(docs, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(target_col).alias("_t"),
+        F.transform("tokens", F.lower).alias("_toks"),
+    ).select(
+        "doc_id",
+        "_t",
+        F.posexplode("_toks").alias("pos", "w"),
+        F.col("_toks").alias("_all"),
+    ).select(
+        "doc_id",
+        "_t",
+        "pos",
+        "w",
+        F.when(
+            F.col("pos") > 0, F.element_at("_all", F.col("pos"))
+        ).alias("prev"),
+    )
+    train = inst.filter(F.col("_t"))
+    nv = train.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("w").alias("vocab"),
+    ).first()
+    n_total, v = int(nv["n"]), int(nv["vocab"]) + 1
+    if n_total == 0:
+        raise ValueError("backoff_surprisal: empty target slice")
+    uni = train.groupBy("w").agg(F.count("*").alias("cnt_w"))
+    big = train.filter(F.col("prev").isNotNull()).groupBy(
+        "prev", "w"
+    ).agg(F.count("*").alias("cnt_pw"))
+    prevc = train.filter(F.col("prev").isNotNull()).groupBy("prev").agg(
+        F.count("*").alias("cnt_prev")
+    )
+
+    denom = F.lit(n_total + v)
+    uni_s = F.round(
+        -F.log(
+            (F.coalesce(F.col("cnt_w"), F.lit(0)) + 1).cast("double")
+            / denom
+        )
+        * quant
+    ).cast("long")
+    back_s = F.round(
+        -F.log(
+            F.lit(alpha)
+            * (F.coalesce(F.col("cnt_w"), F.lit(0)) + 1).cast("double")
+            / denom
+        )
+        * quant
+    ).cast("long")
+
+    first_tab = (
+        inst.filter(F.col("prev").isNull())
+        .select("w")
+        .distinct()
+        .join(uni, "w", "left")
+        .select("w", uni_s.alias("surp_q"))
+    )
+    pair_tab = (
+        inst.filter(F.col("prev").isNotNull())
+        .select("prev", "w")
+        .distinct()
+        .join(big, ["prev", "w"], "left")
+        .join(prevc, "prev", "left")
+        .join(uni, "w", "left")
+        .select(
+            "prev",
+            "w",
+            F.when(
+                F.col("cnt_pw").isNotNull(),
+                F.round(
+                    -F.log(
+                        F.col("cnt_pw").cast("double") / F.col("cnt_prev")
+                    )
+                    * quant
+                ).cast("long"),
+            ).otherwise(back_s).alias("surp_q"),
+            (F.col("cnt_pw").isNull()).alias("is_backoff"),
+        )
+    )
+    scored_first = inst.filter(F.col("prev").isNull()).join(
+        first_tab, "w"
+    ).select("doc_id", "surp_q", F.lit(False).alias("is_backoff"))
+    scored_rest = inst.filter(F.col("prev").isNotNull()).join(
+        pair_tab, ["prev", "w"]
+    ).select("doc_id", "surp_q", "is_backoff")
+    per_doc = (
+        scored_first.unionByName(scored_rest)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("is_backoff").cast("long")).alias("n_backoff"),
+            F.sum("surp_q").alias("sum_surp_q"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_backoff").cast("long").alias("n_backoff"),
+        F.col("sum_surp_q").cast("long").alias("sum_surp_q"),
+        F.expr("sum_surp_q div n_tokens").cast("long").alias("mean_surp_q"),
+    )

@@ -610,3 +610,62 @@ def test_assign_cells_join_path_equals_expression_path(spark):
     finally:
         A.ASSIGN_JOIN_THRESHOLD = orig
     assert join == expr and len(expr) == 150
+
+
+def test_backoff_surprisal_reference(spark):
+    """backoff_surprisal vs an independent Python Stupid-Backoff
+    implementation with the same quantization contract; out-of-domain
+    bigrams hit the backoff path, in-domain docs score lower."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (0, "the cat sat on the mat", True),
+        (1, "the cat ran on the mat", True),
+        (2, "the cat sat on the mat", False),   # pure in-domain
+        (3, "quantum flux melts the cat", False),  # OOV + unseen bigrams
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean"
+    )
+    Q, A = 1_000_000, 0.4
+
+    train = [t.split() for _, t, tgt in rows if tgt]
+    uni = Counter(w for ws in train for w in ws)
+    big = Counter(
+        (ws[i], ws[i + 1]) for ws in train for i in range(len(ws) - 1)
+    )
+    prevc = Counter(ws[i] for ws in train for i in range(len(ws) - 1))
+    n, v = sum(uni.values()), len(uni) + 1
+
+    def s_first(w):
+        return round(-math.log((uni.get(w, 0) + 1) / (n + v)) * Q)
+
+    def s_pair(p, w):
+        if (p, w) in big:
+            return round(-math.log(big[(p, w)] / prevc[p]) * Q), False
+        return (
+            round(-math.log(A * (uni.get(w, 0) + 1) / (n + v)) * Q),
+            True,
+        )
+
+    expect = {}
+    for i, t, _ in rows:
+        ws = t.split()
+        total, nb = s_first(ws[0]), 0
+        for p, w in zip(ws, ws[1:]):
+            s, b = s_pair(p, w)
+            total += s
+            nb += b
+        expect[i] = (len(ws), nb, total, total // len(ws))
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_backoff"], r["sum_surp_q"], r["mean_surp_q"]
+        )
+        for r in textops.backoff_surprisal(d).collect()
+    }
+    assert got == expect
+    assert got[2][1] == 0                 # in-domain: no backoff
+    assert got[3][1] >= 2                 # OOV doc: backoff fired
+    assert got[3][3] > got[2][3]          # ...and scores noisier
