@@ -2524,6 +2524,145 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+def q_doc_attributes(spark, sf_dir):
+    """Dolma-style per-document attributes table: ONE wide row per doc
+    joining the quality signals the curation gates consume — Gopher rule
+    features + gate, intra-doc repetition, corpus-trained mean surprisal,
+    and exact-duplicate class membership — the artifact a tagging pass
+    writes next to the corpus so downstream mixes can re-gate without
+    recomputing. All component ops are individually oracle-verified; this
+    row verifies the wide join composition (every join keys on doc_id)."""
+    from sparkcrawl import curation
+
+    d = _t(spark, sf_dir, "documents")
+    g = curation.gopher_rules(d).select(
+        "doc_id", "n_words", "alpha_word_frac", "n_stop_hits",
+        "passes_gopher",
+    )
+    r = textops.rep_metrics(d).select(
+        "doc_id", "dup_token_ratio", "top_bigram_share"
+    )
+    s = textops.unigram_surprisal(d).select("doc_id", "mean_surp_q")
+    groups = textops.exact_dup_groups(d).withColumnRenamed(
+        "content_md5", "_h"
+    )
+    dup = (
+        d.select("doc_id", F.md5("text").alias("_h"))
+        .join(groups, "_h")
+        .select(
+            "doc_id",
+            (F.col("n_docs") > 1).alias("is_exact_dup"),
+            (F.col("keep_doc_id") == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+    base = d.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long")
+        .alias("n_chars"),
+    )
+    return (
+        base.join(g, "doc_id")
+        .join(r, "doc_id")
+        .join(s, "doc_id")
+        .join(dup, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+Q_DOC_ATTRIBUTES_SQL = r"""
+WITH gf AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         (length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3
+         + (length(text) - length(replace(text, '…', ''))) AS n_sym
+  FROM documents
+),
+gg AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+         n_sym, len(lines) AS n_lines,
+         len(list_filter(lines,
+             l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS n_bullet,
+         len(list_filter(lines,
+             l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+           AS n_ellip,
+         len(list_filter(toks,
+             x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter(
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+             s -> list_contains(list_transform(toks, x -> lower(x)), s)))
+           AS n_stop
+  FROM gf
+),
+rt AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+ru AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM rt WHERE len(toks) >= 2
+),
+rc AS (SELECT doc_id, bg, COUNT(*) AS c FROM ru GROUP BY doc_id, bg),
+ra AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM rc
+       GROUP BY doc_id),
+st AS (
+  SELECT doc_id,
+         unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                               x -> lower(x))) AS tok
+  FROM documents
+),
+sc AS (SELECT tok, COUNT(*) AS cnt FROM st GROUP BY tok),
+stot AS (SELECT SUM(cnt) AS n FROM sc),
+ss AS (
+  SELECT tok,
+         CAST(round(ln(CAST(stot.n AS DOUBLE) / cnt) * 1000000.0)
+              AS BIGINT) AS surp_q
+  FROM sc, stot
+),
+sp AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(surp_q) AS sum_surp_q
+  FROM st JOIN ss ON st.tok = ss.tok GROUP BY doc_id
+),
+dupc AS (
+  SELECT md5(text) AS h, COUNT(*) AS n_docs, MIN(doc_id) AS keep
+  FROM documents GROUP BY md5(text)
+)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(gg.n_words AS BIGINT) AS n_words,
+       round(CAST(gg.n_alpha AS DOUBLE) / greatest(gg.n_words, 1), 6)
+         AS alpha_word_frac,
+       CAST(gg.n_stop AS BIGINT) AS n_stop_hits,
+       (gg.n_words >= 50 AND gg.n_words <= 100000
+        AND COALESCE(gg.sum_len, 0) >= 3 * gg.n_words
+        AND COALESCE(gg.sum_len, 0) <= 10 * gg.n_words
+        AND 10 * gg.n_sym <= gg.n_words
+        AND 10 * gg.n_bullet <= 9 * gg.n_lines
+        AND 10 * gg.n_ellip <= 3 * gg.n_lines
+        AND 5 * gg.n_alpha >= 4 * gg.n_words
+        AND gg.n_stop >= 2) AS passes_gopher,
+       round(1 - CAST(len(list_distinct(rt.toks)) AS DOUBLE)
+               / greatest(len(rt.toks), 1), 6) AS dup_token_ratio,
+       round(COALESCE(CAST(ra.top_c AS DOUBLE) / ra.n_bg, 0.0), 6)
+         AS top_bigram_share,
+       CAST(sp.sum_surp_q // sp.n_tokens AS BIGINT) AS mean_surp_q,
+       (dupc.n_docs > 1) AS is_exact_dup,
+       (dupc.keep = d.doc_id) AS is_canonical
+FROM documents d
+JOIN gg ON d.doc_id = gg.doc_id
+JOIN rt ON d.doc_id = rt.doc_id
+LEFT JOIN ra ON d.doc_id = ra.doc_id
+JOIN sp ON d.doc_id = sp.doc_id
+JOIN dupc ON md5(d.text) = dupc.h
+ORDER BY d.doc_id
+"""
+
+
 def q_backoff_surprisal(spark, sf_dir):
     """Stupid-Backoff bigram LM scoring (textops.backoff_surprisal):
     train on the lang='en' slice, score the whole corpus — the CCNet
@@ -3431,6 +3570,7 @@ QUERIES = {
     "unigram_surprisal": (q_unigram_surprisal, Q_UNIGRAM_SURPRISAL_SQL),
     "perplexity_buckets": (q_perplexity_buckets, Q_PERPLEXITY_BUCKETS_SQL),
     "backoff_surprisal": (q_backoff_surprisal, Q_BACKOFF_SURPRISAL_SQL),
+    "doc_attributes": (q_doc_attributes, Q_DOC_ATTRIBUTES_SQL),
     "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
     "ann_join": (q_ann_join, Q_ANN_JOIN_SQL),
     "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
