@@ -58,6 +58,20 @@ def test_parse_warc_bytes_framing_and_http_split():
     # gzipped shard parses identically (CC on-disk format)
     gz = list(parse_warc_bytes(gzip.compress(_shard()), "s0"))
     assert [r[2:] for r in gz] == [r[2:] for r in recs]
+    # member-PER-RECORD gzip (the Common-Crawl offset-index layout):
+    # gzip.decompress handles concatenated members, so record content
+    # survives; offsets differ (they index the decompressed stream)
+    members = b"".join(
+        gzip.compress(m) for m in (
+            _record("warcinfo", {}, b"software: test\r\n"),
+            _record("response",
+                    {"WARC-Target-URI": "http://x.org/a",
+                     "WARC-Date": "2026-01-02T03:04:05Z"}, HTML_A),
+        )
+    )
+    mem = list(parse_warc_bytes(members, "s1"))
+    assert [r[2] for r in mem] == ["warcinfo", "response"]
+    assert mem[1][3] == "http://x.org/a" and mem[1][7] == HTML_A
 
 
 def test_warc_to_pages_roundtrip(spark, tmp_path):
