@@ -1126,6 +1126,38 @@ FROM r GROUP BY lang ORDER BY lang
 """
 
 
+def q_lang_pivot(spark, sf_dir):
+    """Pivot / crosstab (classical coverage, SURVEY §2.11): doc counts per
+    source with one column per language. Spark's pivot plans as a single
+    partial-combined aggregate with conditional sums — the same shape the
+    oracle states explicitly; an explicit pivot-value list keeps the plan
+    single-pass (no value-discovery job) and the schema static."""
+    d = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    p = (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .orderBy("source")
+    )
+    return p.select(
+        "source",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+          for c in langs],
+    )
+
+
+Q_LANG_PIVOT_SQL = """
+SELECT source,
+       CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+       CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_agg_rollup(spark, sf_dir):
     """Hierarchical rollup aggregate (source -> lang -> grand total) —
     classical-coverage demo of Spark's rollup/grouping-sets path (absent
@@ -3582,6 +3614,7 @@ QUERIES = {
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "hits": (q_hits, Q_HITS_SQL),
     "length_quantiles": (q_length_quantiles, Q_LENGTH_QUANTILES_SQL),
+    "lang_pivot": (q_lang_pivot, Q_LANG_PIVOT_SQL),
     "domain_mix": (q_domain_mix, Q_DOMAIN_MIX_SQL),
     "rep_metrics": (q_rep_metrics, Q_REP_METRICS_SQL),
     "shard_packing": (q_shard_packing, Q_SHARD_PACKING_SQL),
