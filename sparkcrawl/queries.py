@@ -1158,6 +1158,43 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction (classical coverage): pull the integer
+    `k` out of the events table's JSON `props` string with Spark's
+    get_json_object (JVM-side Jackson path evaluation — no UDF) and
+    aggregate per event_type. The JSON path stays a scan-adjacent
+    projection; the single shuffle is the partial-combined groupBy."""
+    d = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        d.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum((F.col("k") % 2 == 0).cast("long")).alias("n_even_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_JSON_PROPS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_even_k
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_agg_rollup(spark, sf_dir):
     """Hierarchical rollup aggregate (source -> lang -> grand total) —
     classical-coverage demo of Spark's rollup/grouping-sets path (absent
@@ -3615,6 +3652,7 @@ QUERIES = {
     "hits": (q_hits, Q_HITS_SQL),
     "length_quantiles": (q_length_quantiles, Q_LENGTH_QUANTILES_SQL),
     "lang_pivot": (q_lang_pivot, Q_LANG_PIVOT_SQL),
+    "json_props": (q_json_props, Q_JSON_PROPS_SQL),
     "domain_mix": (q_domain_mix, Q_DOMAIN_MIX_SQL),
     "rep_metrics": (q_rep_metrics, Q_REP_METRICS_SQL),
     "shard_packing": (q_shard_packing, Q_SHARD_PACKING_SQL),
