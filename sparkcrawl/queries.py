@@ -468,6 +468,55 @@ GROUP BY n_name
 """
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): BUILDING-segment customers,
+    orders before the cutoff, lineitems shipped after it, top-10 orders by
+    revenue. Per-row revenue quantizes to integer CENTS before the sum, so
+    the top-10 cut never rides a float summation order (a plain
+    SUM(double) can flip the limit boundary by one ulp across
+    partitionings); dims broadcast, the one shuffle is the orderkey agg,
+    and the top-10 is a TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cutoff = "1998-01-01"
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            o.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents).cast("long").alias("revenue_cents"))
+        .orderBy(
+            F.desc("revenue_cents"), "o_orderdate", "l_orderkey"
+        )
+        .limit(10)
+    )
+
+
+Q_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -3653,6 +3702,7 @@ QUERIES = {
     "length_quantiles": (q_length_quantiles, Q_LENGTH_QUANTILES_SQL),
     "lang_pivot": (q_lang_pivot, Q_LANG_PIVOT_SQL),
     "json_props": (q_json_props, Q_JSON_PROPS_SQL),
+    "shipping_priority": (q_shipping_priority, Q_SHIPPING_PRIORITY_SQL),
     "domain_mix": (q_domain_mix, Q_DOMAIN_MIX_SQL),
     "rep_metrics": (q_rep_metrics, Q_REP_METRICS_SQL),
     "shard_packing": (q_shard_packing, Q_SHARD_PACKING_SQL),
