@@ -517,6 +517,64 @@ ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10
 """
 
 
+def q_promo_supplier_share(spark, sf_dir):
+    """TPC-H Q14-flavored star over the two previously-untouched dims:
+    per supplier nation, the PROMO-part share of revenue. Both dims
+    (part, supplier, nation) broadcast; per-row revenue quantizes to
+    integer cents so shares are exact ratios of exact integer sums; the
+    one shuffle is the nation-key aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+            F.sum(promo).cast("long").alias("promo_cents"),
+        )
+        .withColumn(
+            "promo_share",
+            F.round(
+                F.col("promo_cents").cast("double")
+                / F.col("revenue_cents"),
+                6,
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q_PROMO_SUPPLIER_SHARE_SQL = """
+WITH j AS (
+  SELECT n_name,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents,
+         (p_type = 'PROMO') AS is_promo
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT)
+         AS promo_cents,
+       round(CAST(SUM(CASE WHEN is_promo THEN cents ELSE 0 END) AS DOUBLE)
+             / SUM(cents), 6) AS promo_share
+FROM j GROUP BY n_name ORDER BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -3703,6 +3761,8 @@ QUERIES = {
     "lang_pivot": (q_lang_pivot, Q_LANG_PIVOT_SQL),
     "json_props": (q_json_props, Q_JSON_PROPS_SQL),
     "shipping_priority": (q_shipping_priority, Q_SHIPPING_PRIORITY_SQL),
+    "promo_supplier_share": (q_promo_supplier_share,
+                             Q_PROMO_SUPPLIER_SHARE_SQL),
     "domain_mix": (q_domain_mix, Q_DOMAIN_MIX_SQL),
     "rep_metrics": (q_rep_metrics, Q_REP_METRICS_SQL),
     "shard_packing": (q_shard_packing, Q_SHARD_PACKING_SQL),
