@@ -957,6 +957,12 @@ def backoff_surprisal(
     the driver. Returns (doc_id, n_tokens, n_backoff, sum_surp_q,
     mean_surp_q).
     """
+    # (prev, w) instances are built INSIDE the array (transform over the
+    # index range -> small 2-string structs) before the explode, so no
+    # exploded row ever carries the whole token array — with a retained
+    # array column, a 1M-token doc would otherwise materialize O(n^2)
+    # bytes at the first row-format boundary
+    toksl = F.col("_toks")
     inst = with_tokens(docs, text_col).select(
         F.col(id_col).alias("doc_id"),
         F.col(target_col).alias("_t"),
@@ -964,16 +970,22 @@ def backoff_surprisal(
     ).select(
         "doc_id",
         "_t",
-        F.posexplode("_toks").alias("pos", "w"),
-        F.col("_toks").alias("_all"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toksl) - 1),
+                lambda i: F.struct(
+                    F.when(
+                        i > 0, F.element_at(toksl, i.cast("int"))
+                    ).alias("prev"),
+                    F.element_at(toksl, (i + 1).cast("int")).alias("w"),
+                ),
+            )
+        ).alias("_pw"),
     ).select(
         "doc_id",
         "_t",
-        "pos",
-        "w",
-        F.when(
-            F.col("pos") > 0, F.element_at("_all", F.col("pos"))
-        ).alias("prev"),
+        F.col("_pw.prev").alias("prev"),
+        F.col("_pw.w").alias("w"),
     )
     train = inst.filter(F.col("_t"))
     nv = train.agg(
