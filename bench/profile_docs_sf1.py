@@ -26,7 +26,7 @@ DEFAULT_OPS = ("boilerplate_ngrams", "pii_scrub", "curation_pipeline",
                "dsir_weights", "bm25_search", "length_quantiles", "hits",
                "c4_filters", "line_dedup", "perplexity_buckets",
                "corpus_shuffle", "chunk_docs", "normalize_text",
-               "quality_pipeline")
+               "quality_pipeline", "backoff_surprisal", "doc_attributes")
 
 
 def main():
