@@ -365,8 +365,11 @@ def dsir_weights(docs: DataFrame, target_col: str = "is_target",
         weight  = sum over the doc's bigram features of lam[bucket(g)]
 
     Features are lowercased word bigrams hashed to B buckets by the first
-    3 hex chars of md5 (B=4096 == the full 3-hex range), the same
-    cross-engine idiom as the HLL sketch; lam is quantized ONCE per bucket
+    log16(B) hex chars of md5 (default B=4096 -> 3 hex chars, the full
+    3-hex range; B must be a power of 16 so the prefix width is exact —
+    otherwise the actual bucket count would silently diverge from the B
+    used in the Laplace smoothing), the same cross-engine idiom as the
+    HLL sketch; lam is quantized ONCE per bucket
     to integer micro-nats (round(lam*quant)), so per-doc sums are exact
     integer math — the kept set never rides a float summation order.
     The paper's Gumbel-top-k resample is replaced by the deterministic
@@ -380,6 +383,11 @@ def dsir_weights(docs: DataFrame, target_col: str = "is_target",
     """
     from sparkcrawl.textops import with_shingles
 
+    hex_width = max(1, (n_buckets.bit_length() - 1) // 4)
+    if 16 ** hex_width != n_buckets:
+        raise ValueError(
+            f"n_buckets must be a power of 16, got {n_buckets}"
+        )
     b = F.lit(n_buckets)
     d = with_shingles(docs, n=2, text_col=text_col).select(
         "doc_id",
@@ -393,7 +401,7 @@ def dsir_weights(docs: DataFrame, target_col: str = "is_target",
     ).select(
         "doc_id",
         "_t",
-        F.conv(F.substring(F.md5("_g"), 1, 3), 16, 10)
+        F.conv(F.substring(F.md5("_g"), 1, hex_width), 16, 10)
         .cast("int")
         .alias("bucket"),
     )

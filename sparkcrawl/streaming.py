@@ -162,15 +162,25 @@ def streaming_dedup(
     arrival rate, never by corpus size — the only state contract that
     holds on an unbounded crawl. (A crawl re-fetching the same content
     MONTHS later is the recrawl path, engine.init_recrawl — not this
-    operator's job.) On a batch frame, falls back to the deterministic
-    min-first dropDuplicates for parity testing.
+    operator's job.) On a batch frame, falls back to an explicit
+    min-first selection for parity testing: the kept row per hash is the
+    minimum over (event time, then every remaining column), NOT a bare
+    ``dropDuplicates`` — that keeps an arbitrary encounter-order row, so
+    which doc survives would vary with partitioning and the parity
+    contract would only hold by accident.
     """
     d = docs.withColumn("content_md5", F.md5(F.col(text_col)))
     if d.isStreaming:
         return d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["content_md5"]
         )
-    return d.dropDuplicates(["content_md5"])
+    others = [c for c in d.columns if c not in (ts_col, "content_md5")]
+    tie = F.struct(F.col(ts_col), *[F.col(c) for c in others])
+    return (
+        d.groupBy("content_md5")
+        .agg(F.min_by(F.struct(*d.columns), tie).alias("_row"))
+        .select("_row.*")
+    )
 
 
 def corpus_lines(crawled: DataFrame) -> DataFrame:

@@ -89,7 +89,16 @@ def parse_warc_bytes(data: bytes, fname: str = "") -> Iterator[tuple]:
             headers[name.strip().decode("latin-1").lower()] = (
                 val.strip().decode("latin-1")
             )
-        length = int(headers.get("content-length", "0"))
+        # Real Common-Crawl shards contain occasional malformed records; a
+        # non-numeric Content-Length means the framing is unrecoverable
+        # from this point (the next record boundary is unknown), so stop
+        # parsing the shard instead of crashing the whole task.
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            break
+        if length < 0:
+            break
         body_start = head_end + sep_len
         payload = data[body_start : body_start + length]
         pos = body_start + length
@@ -169,12 +178,21 @@ def render_warc_shards(
     (export side of the Common-Crawl interchange).
 
     Shard assignment and record order are pure functions of the data —
-    records sort by (url, ts) globally, shard = rank div records_per_shard
-    via the partition-free running total (pack_shards' machinery), and
-    each shard's bytes concatenate its records in order. Re-running, or
-    running at any cluster width, produces byte-identical shards. The
-    per-shard groupBy bounds memory by shard size — the same ~1 GB unit
-    the read path assumes. Returns (shard_id, n_records, warc_bytes).
+    records sort by (url, ts, md5(html)) globally (the md5 tiebreaker
+    makes re-fetches of the same URL within the same formatted second
+    order deterministically too), shard = rank div records_per_shard via
+    the partition-free running total (pack_shards' machinery), and each
+    shard's bytes concatenate its records in order. Re-running, or
+    running at any cluster width, produces byte-identical shards.
+
+    The render step is ``groupBy(shard_id).applyInPandas`` — groups are
+    delivered whole, one pandas frame per shard, so a shard can never be
+    split across Arrow batches (``mapInPandas`` re-batches partitions at
+    arrow.maxRecordsPerBatch — default 10k, exactly records_per_shard —
+    which would emit partial warc_bytes rows for a shard straddling a
+    batch boundary). Per-group memory is bounded by shard size — the
+    same ~1 GB unit the read path assumes. Returns
+    (shard_id, n_records, warc_bytes).
     """
     from sparkcrawl.curation import with_running_total
 
@@ -185,37 +203,35 @@ def render_warc_shards(
         ).alias("ts"),
         F.col(html_col).cast("binary").alias("html"),
         F.lit(1).alias("_one"),
+    ).withColumn(
+        "_tie", F.coalesce(F.md5(F.col("html")), F.lit(""))
     )
-    ranked = with_running_total(d, "_one", ["url", "ts"], out_col="_rank")
+    ranked = with_running_total(
+        d, "_one", ["url", "ts", "_tie"], out_col="_rank"
+    )
     sharded = ranked.withColumn(
         "shard_id",
         F.expr(f"(_rank - 1) div {int(records_per_shard)}").cast("long"),
     )
 
-    def render(batches):
-        for pdf in batches:
-            out = []
-            for sid, grp in pdf.groupby("shard_id"):
-                grp = grp.sort_values(["url", "ts"])
-                buf = []
-                for url, ts, html in zip(grp["url"], grp["ts"], grp["html"]):
-                    body = bytes(html) if html is not None else b""
-                    head = (
-                        "WARC/1.0\r\n"
-                        "WARC-Type: response\r\n"
-                        f"WARC-Target-URI: {url}\r\n"
-                        f"WARC-Date: {ts}\r\n"
-                        f"Content-Length: {len(body)}\r\n\r\n"
-                    ).encode()
-                    buf.append(head + body + b"\r\n\r\n")
-                out.append((int(sid), len(grp), b"".join(buf)))
-            yield pd.DataFrame(
-                out, columns=["shard_id", "n_records", "warc_bytes"]
-            )
-
-    return (
-        sharded.repartition(F.col("shard_id"))
-        .mapInPandas(
-            render, "shard_id long, n_records long, warc_bytes binary"
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = pdf.sort_values(["url", "ts", "_tie"])
+        buf = []
+        for url, ts, html in zip(grp["url"], grp["ts"], grp["html"]):
+            body = bytes(html) if html is not None else b""
+            head = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {ts}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            buf.append(head + body + b"\r\n\r\n")
+        return pd.DataFrame(
+            [(int(pdf["shard_id"].iloc[0]), len(grp), b"".join(buf))],
+            columns=["shard_id", "n_records", "warc_bytes"],
         )
+
+    return sharded.groupBy("shard_id").applyInPandas(
+        render, "shard_id long, n_records long, warc_bytes binary"
     )

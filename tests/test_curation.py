@@ -633,3 +633,23 @@ def test_line_dedup_within_doc_repeats_dont_count(spark):
         for r in curation.line_dedup(d, min_docs=2).collect()
     }
     assert got[0] == "echo echo line\necho echo line\nbody zero"
+
+
+def test_dsir_weights_n_buckets_must_match_hash_width(spark):
+    """dsir_weights hashes features to 16^w buckets via a w-hex-char md5
+    prefix; the Laplace smoothing uses n_buckets as B. The two must agree,
+    so non-power-of-16 bucket counts are rejected instead of silently
+    producing wrong lam values."""
+    import pytest as _pytest
+
+    from sparkcrawl.curation import dsir_weights
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma", True), (2, "delta beta gamma", False)],
+        "doc_id long, text string, is_target boolean",
+    )
+    with _pytest.raises(ValueError):
+        dsir_weights(d, n_buckets=1000)
+    # a power of 16 works and weights stay integer-quantized
+    rows = {r["doc_id"]: r for r in dsir_weights(d, n_buckets=256).collect()}
+    assert set(rows) == {1, 2}

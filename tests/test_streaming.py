@@ -232,3 +232,33 @@ def test_streaming_dedup_suppresses_within_watermark(spark, tmp_path):
     assert len(got) == 3  # one row per distinct content
     # first arrival won: the kept doc_ids are the originals, not re-fetches
     assert {r["doc_id"] for r in got} == {0, 1, 3}
+
+
+def test_streaming_dedup_batch_fallback_is_min_first_and_stable(spark):
+    """The batch fallback keeps the minimum-(ts, remaining cols) row per
+    content hash — explicitly, not via dropDuplicates' arbitrary
+    encounter-order keep — so the survivor set is identical at any
+    partitioning."""
+    import datetime as dt
+
+    from sparkcrawl.streaming import streaming_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (10, "same body", t0 + dt.timedelta(seconds=3)),
+        (2, "same body", t0),          # earliest ts -> survives
+        (7, "same body", t0),          # ts tie -> doc_id 2 wins (min)
+        (5, "other body", t0 + dt.timedelta(seconds=1)),
+    ]
+
+    def survivors(n_parts):
+        df = spark.createDataFrame(rows, DOCS_SCHEMA).repartition(n_parts)
+        return sorted(
+            (r["doc_id"], r["content_md5"])
+            for r in streaming_dedup(df).collect()
+        )
+
+    got = survivors(1)
+    assert survivors(7) == got
+    assert survivors(32) == got
+    assert {d for d, _ in got} == {2, 5}

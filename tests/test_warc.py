@@ -139,3 +139,100 @@ def test_render_warc_shards_roundtrip_and_determinism(spark):
     )
     assert [(r[3], r[4], r[7]) for r in parsed] == want
     assert all(r[2] == "response" for r in parsed)
+
+
+def test_render_warc_shards_whole_even_when_arrow_batches_are_tiny(spark):
+    """A shard must come out as ONE row even when Arrow batches are far
+    smaller than records_per_shard. The old repartition+mapInPandas
+    implementation re-batched partitions at arrow.maxRecordsPerBatch and
+    emitted partial warc_bytes rows per batch; groupBy().applyInPandas
+    delivers each shard whole regardless of batch size."""
+    import datetime as dt
+
+    from sparkcrawl.warc import render_warc_shards
+
+    t0 = dt.datetime(2026, 1, 2, 3, 4, 5)
+    rows = [
+        (f"http://h{i % 5}.org/p{i:03d}", t0 + dt.timedelta(seconds=i),
+         f"<html><body>tiny batch doc {i}</body></html>".encode())
+        for i in range(40)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    orig = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+        got = render_warc_shards(pages, records_per_shard=16).collect()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", orig
+        )
+    by_sid = {}
+    for r in got:
+        assert r["shard_id"] not in by_sid, "shard split across rows"
+        by_sid[r["shard_id"]] = (r["n_records"], bytes(r["warc_bytes"]))
+    assert sorted(by_sid) == [0, 1, 2]
+    assert [by_sid[s][0] for s in (0, 1, 2)] == [16, 16, 8]
+    parsed = []
+    for sid in (0, 1, 2):
+        parsed.extend(parse_warc_bytes(by_sid[sid][1], f"s{sid}"))
+    assert len(parsed) == 40
+
+
+def test_render_warc_shards_same_second_refetch_ties_are_deterministic(
+    spark,
+):
+    """Two fetches of the same URL in the same formatted second differ
+    only by body; the md5(html) tiebreaker must order them (and therefore
+    the shard bytes) identically at any shuffle width."""
+    import datetime as dt
+
+    from sparkcrawl.warc import render_warc_shards
+
+    t0 = dt.datetime(2026, 1, 2, 3, 4, 5)
+    rows = []
+    for i in range(12):
+        url = f"http://dup.org/p{i % 4}"  # 3 re-fetches per url
+        rows.append((url, t0, f"<html>body variant {i}</html>".encode()))
+
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+
+    def shard_bytes(width):
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", width)
+            return {
+                r["shard_id"]: bytes(r["warc_bytes"])
+                for r in render_warc_shards(
+                    pages, records_per_shard=5
+                ).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+    a = shard_bytes("7")
+    assert shard_bytes("2") == a
+    assert shard_bytes("32") == a
+
+
+def test_parse_warc_bytes_malformed_content_length_skips_not_crashes():
+    """A malformed Content-Length stops the shard's parse at that record
+    (framing is unrecoverable) instead of raising through the task."""
+    good = _record("response", {"WARC-Target-URI": "http://ok.org/a"},
+                   b"fine body")
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad.org/x\r\n"
+        b"Content-Length: 12 bytes\r\n\r\n"
+        b"whatever body\r\n\r\n"
+    )
+    recs = list(parse_warc_bytes(good + bad, "s0"))
+    assert [r[3] for r in recs] == ["http://ok.org/a"]
+    # negative length is equally unrecoverable
+    neg = bad.replace(b"12 bytes", b"-7")
+    recs2 = list(parse_warc_bytes(good + neg, "s0"))
+    assert [r[3] for r in recs2] == ["http://ok.org/a"]
