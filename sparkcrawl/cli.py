@@ -71,12 +71,20 @@ def main(argv: list[str] | None = None) -> None:
         f"{args.web}/page_meta.parquet"
     )
     robots = spark.read.schema(S.ROBOTS).parquet(f"{args.web}/robots.parquet")
-    cfg = CrawlConfig(
+    # Cluster submits can't reach CrawlConfig fields through argparse
+    # flags one by one; SPARKCRAWL_CONF='{"cache_web": false, ...}' maps
+    # JSON keys onto CrawlConfig kwargs (same contract as the bench
+    # harnesses' SPARKCRAWL_SCALE_CONF). CLI flags win over the env.
+    import os
+
+    conf_kw = json.loads(os.environ.get("SPARKCRAWL_CONF", "{}"))
+    conf_kw.update(
         max_file_num=args.max_docs,
         max_rounds=args.max_rounds,
         use_bloom=not args.no_bloom,
         seen_filter=args.seen_filter,
     )
+    cfg = CrawlConfig(**conf_kw)
     eng = CrawlEngine(spark, store, pages, meta, robots, cfg)
     seeds = None
     if not args.resume:

@@ -213,19 +213,13 @@ class CuckooState:
             if not removed:
                 self.stash.discard((s << 16) | f)
 
-    # ---- DataFrame interface (BloomState-compatible) ----
-
-    def add_hashes_df(self, df: DataFrame) -> None:
-        """OR the url_hash column of df into the filter. Locally the delta
-        collects via Arrow (per-round admitted sets are small relative to
-        the table); at scale the same kernel runs executor-side per shard —
-        see module docstring."""
-        pdf = df.select("url_hash").toPandas()
-        self.add_hashes(pdf["url_hash"].to_numpy(dtype=np.int64))
-
-    def delete_hashes_df(self, df: DataFrame) -> None:
-        pdf = df.select("url_hash").toPandas()
-        self.delete_hashes(pdf["url_hash"].to_numpy(dtype=np.int64))
+    # NOTE: no DataFrame interface here by design. CuckooState is the
+    # numpy kernel + unit-test surface; every engine-reachable cuckoo
+    # config goes through CuckooFileState below, whose add/delete merges
+    # run per-shard INSIDE executor tasks. (The old
+    # add_hashes_df/delete_hashes_df convenience methods round-tripped the
+    # delta through driver toPandas — removed so the driver-resident hop
+    # can't be reintroduced by picking the wrong class.)
 
     def hit_udf(self):
         """pandas UDF: url_hash -> bool (True = maybe seen)."""

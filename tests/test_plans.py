@@ -127,6 +127,18 @@ def test_no_single_partition_windows_in_source():
             assert "W.orderBy(" not in text, path.name
 
 
+def test_no_topandas_in_engine_source():
+    """No non-test sparkcrawl code may funnel a DataFrame through driver
+    toPandas — all filter-state maintenance is executor-side
+    (BloomFileState/CuckooFileState per-shard merges); the round-3 verdict
+    retired the last driver-resident cuckoo hop and this pins it."""
+    import pathlib
+
+    src_dir = pathlib.Path(__file__).parent.parent / "sparkcrawl"
+    for path in sorted(src_dir.rglob("*.py")):
+        assert ".toPandas(" not in path.read_text(), path.name
+
+
 def test_export_rotation_no_global_window(spark):
     from sparkcrawl.queries import q_export_rotation
 
