@@ -91,7 +91,11 @@ def main():
         (id, _e) frame, so training reads the source ONCE instead of
         iters+1 times. A/B by disabling DataFrame.persist (no-op) on the
         same code path and counting source bytes."""
-        import pyspark.sql.dataframe as D
+        # patch the CONCRETE class (pyspark.sql.classic.*) — the
+        # pyspark.sql.dataframe.DataFrame base is abstract in Spark 4
+        # and patching it never reaches instances
+        cls = type(df)
+        assert "persist" in vars(cls), "persist not defined on " + str(cls)
 
         def leg():
             b0 = bytes_read()
@@ -99,12 +103,12 @@ def main():
             return bytes_read() - b0
 
         cached = leg()
-        orig = D.DataFrame.persist
-        D.DataFrame.persist = lambda self, *a, **k: self
+        orig = cls.persist
+        cls.persist = lambda self, *a, **k: self
         try:
             uncached = leg()
         finally:
-            D.DataFrame.persist = orig
+            cls.persist = orig
         per_scan = uncached / 5  # init pick + 4 assignment sweeps
         print(
             f"kmeans_cells train scans n={n}: cached={cached} bytes "

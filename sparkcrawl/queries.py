@@ -3713,23 +3713,39 @@ def _bpe_trained(spark, sf_dir):
     return _BPE_TRAIN_MEMO[key]
 
 
-def _bpe_cte_chain(n_merges: int) -> str:
-    """WITH-chain shared by the bpe_merges and bpe_tokenize oracles."""
+def _bpe_cte_chain(n_merges: int, train_where: str = "",
+                   heldout_where: str | None = None) -> str:
+    """WITH-chain shared by the BPE oracles (every CTE MATERIALIZED —
+    each step is referenced twice, and DuckDB's default CTE inlining
+    would expand the chain exponentially).
+
+    ``train_where`` restricts the training corpus; ``heldout_where``
+    additionally threads a second word table (h0..hN) through the SAME
+    learned merges in rank order — which equals the min-rank inference
+    loop on any word, seen or unseen, because a merge's components are
+    base chars or strictly-earlier merge outputs, so applying the list
+    in order can never create a missed earlier-pair occurrence."""
+    pre_pat = r"' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'"
+    clean = "regexp_replace(text, '[' || chr(2) || chr(3) || ']', '', 'g')"
+    enc0 = ("array_to_string(list_transform(regexp_extract_all(word, '.'),"
+            " x -> chr(2) || x || chr(3)), '')")
     parts = [
-        r"""WITH tok AS MATERIALIZED (
-  SELECT unnest(regexp_extract_all(
-           regexp_replace(text, '[' || chr(2) || chr(3) || ']', '', 'g'),
-           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS word
-  FROM documents
+        f"""WITH tok AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all({clean}, {pre_pat})) AS word
+  FROM documents {train_where}
 ),
 w0 AS MATERIALIZED (
-  SELECT word,
-         array_to_string(list_transform(regexp_extract_all(word, '.'),
-             x -> chr(2) || x || chr(3)), '') AS enc,
-         COUNT(*) AS cnt
+  SELECT word, {enc0} AS enc, COUNT(*) AS cnt
   FROM tok GROUP BY word
 )"""
     ]
+    if heldout_where is not None:
+        parts.append(f""",
+h0 AS MATERIALIZED (
+  SELECT word, {enc0} AS enc FROM (
+    SELECT DISTINCT unnest(regexp_extract_all({clean}, {pre_pat})) AS word
+    FROM documents {heldout_where})
+)""")
     for k in range(n_merges):
         parts.append(f""",
 p{k} AS MATERIALIZED (
@@ -3751,6 +3767,15 @@ w{k + 1} AS MATERIALIZED (
                                 chr(2)||b.s1||b.s2||chr(3)) END AS enc,
          cnt
   FROM w{k} LEFT JOIN b{k} b ON TRUE
+)""")
+        if heldout_where is not None:
+            parts.append(f""",
+h{k + 1} AS MATERIALIZED (
+  SELECT word,
+         CASE WHEN b.s1 IS NULL THEN enc
+              ELSE replace(enc, chr(2)||b.s1||chr(3)||chr(2)||b.s2||chr(3),
+                                chr(2)||b.s1||b.s2||chr(3)) END AS enc
+  FROM h{k} LEFT JOIN b{k} b ON TRUE
 )""")
     return "".join(parts)
 
@@ -3875,6 +3900,95 @@ FROM documents ORDER BY url
 """
 
 
+def q_bpe_apply_heldout(spark, sf_dir):
+    """BPE inference on text the trainer never saw: train merges on the
+    even-doc_id half of the corpus, tokenize the odd half with the
+    pandas-UDF min-rank replay (bpe.count_tokens_udf — the Arrow batch
+    path a pipeline uses to tokenize 100 TB after training once). This
+    gives the Python inference kernel its own oracle row: the oracle
+    threads the heldout word table through the learned merges in rank
+    order, which provably equals the min-rank loop (see _bpe_cte_chain).
+    """
+    d = _t(spark, sf_dir, "documents")
+    merges, _words = bpe.train_bpe(
+        d.filter(F.col("doc_id") % 2 == 0), n_merges=_BPE_N_MERGES
+    )
+    held = d.filter(F.col("doc_id") % 2 == 1)
+    return held.select(
+        "doc_id",
+        bpe.count_tokens_udf(merges)(F.col("text")).alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+Q_BPE_APPLY_HELDOUT_SQL = f"""{_bpe_cte_chain(
+    _BPE_N_MERGES,
+    train_where="WHERE doc_id % 2 = 0",
+    heldout_where="WHERE doc_id % 2 = 1",
+)},
+seg AS (
+  SELECT word,
+         CAST(length(enc) - length(replace(enc, chr(2), '')) AS BIGINT)
+           AS w_tokens
+  FROM h{_BPE_N_MERGES}
+),
+dt AS (
+  SELECT doc_id, unnest(regexp_extract_all(
+           regexp_replace(text, '[' || chr(2) || chr(3) || ']', '', 'g'),
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS word
+  FROM documents WHERE doc_id % 2 = 1
+),
+ag AS (
+  SELECT doc_id, SUM(w_tokens) AS n FROM dt JOIN seg USING (word)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(ag.n, 0) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN ag USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_token_shard_packing(spark, sf_dir):
+    """Token-budgeted shard packing — the actual pretraining data-prep
+    op: docs in deterministic doc_id order, each assigned to the shard
+    containing its START offset under a trained-BPE token budget.
+    Composes bpe_tokenize's all-JVM counts (training memoized per
+    session+sf) with pack_shards' partition-free running total, so the
+    only driver state is one long per partition."""
+    from sparkcrawl.curation import pack_shards
+
+    counts = q_bpe_tokenize(spark, sf_dir)
+    return pack_shards(counts, budget=2000).orderBy("doc_id")
+
+
+Q_TOKEN_SHARD_PACKING_SQL = f"""{_bpe_cte_chain(_BPE_N_MERGES)},
+seg AS (
+  SELECT word,
+         CAST(length(enc) - length(replace(enc, chr(2), '')) AS BIGINT)
+           AS w_tokens
+  FROM w{_BPE_N_MERGES}
+),
+dt AS (
+  SELECT doc_id, unnest(regexp_extract_all(
+           regexp_replace(text, '[' || chr(2) || chr(3) || ']', '', 'g'),
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS word
+  FROM documents
+),
+ag AS (
+  SELECT doc_id, SUM(w_tokens) AS n FROM dt JOIN seg USING (word)
+  GROUP BY doc_id
+),
+tc AS (
+  SELECT d.doc_id, CAST(COALESCE(ag.n, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN ag USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2000
+            AS BIGINT) AS shard_id
+FROM tc ORDER BY doc_id
+"""
+
+
 
 # Catalog order matters: the driver's per-round correctness gate verifies
 # the FIRST 50 entries against the DuckDB oracle.  Round 3's gate stopped at
@@ -3915,6 +4029,9 @@ QUERIES = {
     "bpe_merges": (q_bpe_merges, Q_BPE_MERGES_SQL),
     "bpe_tokenize": (q_bpe_tokenize, Q_BPE_TOKENIZE_SQL),
     "warc_roundtrip": (q_warc_roundtrip, Q_WARC_ROUNDTRIP_SQL),
+    "bpe_apply_heldout": (q_bpe_apply_heldout, Q_BPE_APPLY_HELDOUT_SQL),
+    "token_shard_packing": (q_token_shard_packing,
+                            Q_TOKEN_SHARD_PACKING_SQL),
     # --- block 3: driver-green in CORRECTNESS_r03 (50/50 pass) ---
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
