@@ -26,7 +26,13 @@ DEFAULT_OPS = ("boilerplate_ngrams", "pii_scrub", "curation_pipeline",
                "dsir_weights", "bm25_search", "length_quantiles", "hits",
                "c4_filters", "line_dedup", "perplexity_buckets",
                "corpus_shuffle", "chunk_docs", "normalize_text",
-               "quality_pipeline", "backoff_surprisal", "doc_attributes")
+               "quality_pipeline", "backoff_surprisal", "doc_attributes",
+               # round-4 additions: trained BPE (replication multiplies
+               # word COUNTS but not the vocabulary, so training cost
+               # should be ~flat after the one corpus pass — the claim),
+               # heldout inference, token packing, WARC render+parse
+               "bpe_merges", "bpe_tokenize", "bpe_apply_heldout",
+               "token_shard_packing", "warc_roundtrip")
 
 
 def main():
@@ -61,8 +67,14 @@ def main():
         )
 
     def run(name, d):
+        import sparkcrawl.queries as Q
+
         fn = QUERIES[name][0]
+        # honest BPE timing: drop the per-session training memo so both
+        # the warm and the timed pass include the merge loop
+        Q._BPE_TRAIN_MEMO.clear()
         fn(spark, d).count()  # warm: codegen + workers
+        Q._BPE_TRAIN_MEMO.clear()
         t0 = time.time()
         n = fn(spark, d).count()
         return n, time.time() - t0

@@ -55,9 +55,14 @@ def test_new_query_catalog_identical_across_widths(spark):
     a global rank, trained cells, or an iterative sweep."""
     from sparkcrawl.queries import QUERIES
 
+    import sparkcrawl.queries as Q
+
     names = (
         "hits", "dsir_weights", "semantic_dedup", "ann_join",
         "perplexity_buckets", "corpus_shuffle", "quality_pipeline",
+        # round 4: trained merges (iterative), global token rank, global
+        # (url, ts) shard rank
+        "bpe_merges", "token_shard_packing", "warc_roundtrip",
     )
     sf = "/root/testdata/sf0.001"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -65,6 +70,9 @@ def test_new_query_catalog_identical_across_widths(spark):
         results = {}
         for w in ("3", "13"):
             spark.conf.set("spark.sql.shuffle.partitions", w)
+            # force an honest re-train at each width (the per-session
+            # memo would otherwise make the BPE rows trivially equal)
+            Q._BPE_TRAIN_MEMO.clear()
             for n in names:
                 rows = sorted(map(tuple, QUERIES[n][0](spark, sf).collect()))
                 assert rows, (n, w)
