@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "dedup_survivors"]
 
 def _digest():
     """Convergence digest: sum of per-edge hashes folded into 2^31 buckets
@@ -135,6 +135,52 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         F.col(id_col),
         cluster.alias("cluster_id"),
         (cluster == F.col(id_col)).alias("is_canonical"),
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY the keep-one-per-cluster policy: one row per surviving
+    (canonical) document with the cluster's size and character accounting
+    — the corpus-shrink report a dedup run actually ships (how many docs
+    and chars each survivor absorbed).
+
+    Output: ``doc_id`` (the survivor == cluster min id), ``cluster_size``
+    (members incl. the survivor), ``cluster_chars`` (total chars across
+    members), ``chars_dropped`` (chars removed from the corpus).
+
+    Scale shape: the cluster labels come from the large/small-star closure
+    (shuffles keyed by node id); the accounting is ONE join on doc_id plus
+    ONE partial-combined agg keyed by cluster_id. Integer math only — no
+    float summation order anywhere.
+    """
+    labels = dedup_clusters(docs, pairs, id_col=id_col)
+    sized = labels.join(
+        docs.select(id_col, F.length(F.col(text_col)).alias("_len")), id_col
+    )
+    return (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.sum("_len").cast("long").alias("cluster_chars"),
+            F.sum(
+                F.when(~F.col("is_canonical"), F.col("_len")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+        .select(
+            F.col("cluster_id").alias(id_col),
+            "cluster_size",
+            "cluster_chars",
+            "chars_dropped",
+        )
     )
 
 

@@ -459,6 +459,60 @@ def dsir_weights(docs: DataFrame, target_col: str = "is_target",
     )
 
 
+def dsir_resample(
+    docs: DataFrame,
+    k: int = 200,
+    target_col: str = "is_target",
+    text_col: str = "text",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """DSIR's actual SELECTION step (Xie et al. 2023 §2: Gumbel top-k):
+    sample ``k`` documents WITHOUT replacement with probability
+    proportional to exp(importance weight), deterministically.
+
+    Gumbel-max reduces weighted sampling to a per-row key:
+
+        key = weight + Gumbel(0,1) = weight - ln(-ln(u)),  u ~ U(0,1)
+
+    and the top-k keys are exactly a weight-proportional sample. The
+    uniform is derived from md5("gum:"||doc_id) (first 8 hex chars ->
+    (int + 0.5) / 2^32, never 0 or 1), so the draw is reproducible on any
+    cluster size / partitioning and in the DuckDB oracle. Keys are
+    quantized to integer micro-nats and ties broken by doc_id.
+
+    Scale shape: dsir_weights' broadcast-model pipeline plus one narrow
+    projection; the top-k is an ``orderBy(...).limit(k)`` which Spark
+    plans as TakeOrdered (per-partition heaps + a k-row driver merge) —
+    no global sort, nothing corpus-sized crosses one task.
+    """
+    w = dsir_weights(
+        docs, target_col=target_col, text_col=text_col, quant=quant
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("gum:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.col("weight_q").cast("double") / quant - F.log(-F.log(u))
+    return (
+        w.withColumn("key_q", F.round(key * quant).cast("long"))
+        .select("doc_id", "weight_q", "key_q")
+        .orderBy(F.desc("key_q"), "doc_id")
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 line-level filters
 # ---------------------------------------------------------------------------

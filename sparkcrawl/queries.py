@@ -1872,6 +1872,71 @@ ORDER BY d.doc_id
 """
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Near-dup dedup APPLIED (components.dedup_survivors): one row per
+    surviving document with the cluster's member count and char
+    accounting — the corpus-shrink report of a keep-one-per-cluster run.
+    Same md5-keyed LSH pairs as `dedup_clusters`, so the oracle rebuilds
+    identical buckets; accounting is integer-only (counts + char sums)."""
+    from sparkcrawl.components import dedup_survivors
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = textops.lsh_candidate_pairs(d, n_hashes=16, bands=8, hash_fn="md5")
+    return dedup_survivors(d, pairs).orderBy("doc_id")
+
+
+Q_DEDUP_SURVIVORS_SQL = """
+WITH RECURSIVE expl AS (
+  SELECT doc_id, unnest(
+    [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+     for i in range(1, greatest(len(tokens) - 1, 1))]) AS s
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+    FROM documents
+  )
+),
+ks AS (SELECT unnest(range(0, 16)) AS k),
+sig AS (
+  SELECT e.doc_id, ks.k,
+         MIN(md5(CAST(ks.k AS VARCHAR) || ':' || e.s)) AS mh
+  FROM expl e CROSS JOIN ks
+  GROUP BY e.doc_id, ks.k
+),
+band AS (
+  SELECT doc_id, k // 2 AS band,
+         md5(string_agg(mh, ',' ORDER BY k)) AS bucket
+  FROM sig GROUP BY doc_id, k // 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+  UNION
+  SELECT reach.u, sym.v FROM reach JOIN sym ON reach.r = sym.u
+),
+comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+lab AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         length(d.text) AS len
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT cluster_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(SUM(len) AS BIGINT) AS cluster_chars,
+       CAST(SUM(CASE WHEN lab.doc_id <> cluster_id THEN len ELSE 0 END)
+            AS BIGINT) AS chars_dropped
+FROM lab GROUP BY cluster_id ORDER BY doc_id
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Test-set decontamination: flag training documents sharing any 5-gram
     with the held-out eval split (doc_id % 7 == 0 — synthesized split, same
@@ -2513,6 +2578,77 @@ SELECT t.doc_id, t.is_t AS is_target,
        CAST(COALESCE(p.weight_q, 0) AS BIGINT) AS weight_q,
        (COALESCE(p.weight_q, 0) > 0) AS target_like
 FROM t LEFT JOIN p USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR's Gumbel top-k SELECTION step (curation.dsir_resample): the
+    top 200 docs by weight + Gumbel(0,1) noise — a deterministic
+    weight-proportional sample without replacement. The uniform is
+    md5("gum:"||doc_id) -> (int+0.5)/2^32, the key is quantized to
+    integer micro-nats, ties break on doc_id; the physical plan is a
+    TakeOrdered, never a global sort."""
+    from sparkcrawl import curation
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_target")
+    )
+    return curation.dsir_resample(d, k=200)
+
+
+Q_DSIR_RESAMPLE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        x -> lower(x)) AS toks,
+         (lang = 'en') AS is_t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_t, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+),
+f AS (
+  SELECT doc_id, is_t,
+         (strpos('0123456789abcdef', substr(md5(gram), 1, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(gram), 2, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(gram), 3, 1)) - 1)
+           AS bucket
+  FROM g
+),
+c AS (
+  SELECT bucket, COUNT(*) AS cnt_r,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t
+  FROM f GROUP BY bucket
+),
+tot AS (SELECT SUM(cnt_r) AS nr, SUM(cnt_t) AS nt FROM c),
+lam AS (
+  SELECT bucket,
+         CAST(round(ln(CAST((cnt_t + 1) * (nr + 4096) AS DOUBLE)
+                       / CAST((cnt_r + 1) * (nt + 4096) AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS lam_q
+  FROM c, tot
+),
+p AS (
+  SELECT doc_id, SUM(lam_q) AS weight_q
+  FROM f JOIN lam USING (bucket) GROUP BY doc_id
+),
+w AS (
+  SELECT t.doc_id, COALESCE(p.weight_q, 0) AS weight_q
+  FROM t LEFT JOIN p USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, CAST(weight_q AS BIGINT) AS weight_q,
+         CAST(round(
+           (weight_q / 1000000.0
+            - ln(-ln((CAST('0x' || substr(
+                  md5('gum:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) + 0.5) / 4294967296.0)))
+           * 1000000.0) AS BIGINT) AS key_q
+  FROM w
+)
+SELECT doc_id, weight_q, key_q
+FROM keyed ORDER BY key_q DESC, doc_id LIMIT 200
 """
 
 
@@ -4032,6 +4168,12 @@ QUERIES = {
     "bpe_apply_heldout": (q_bpe_apply_heldout, Q_BPE_APPLY_HELDOUT_SQL),
     "token_shard_packing": (q_token_shard_packing,
                             Q_TOKEN_SHARD_PACKING_SQL),
+    # renamed from token_count_bpe this round (same logic, new name), so
+    # it has no driver-green row under the new name — keep it inside the
+    # driver's 50-row correctness window
+    "pretokenize_count": (q_pretokenize_count, Q_PRETOKENIZE_COUNT_SQL),
+    "dedup_survivors": (q_dedup_survivors, Q_DEDUP_SURVIVORS_SQL),
+    "dsir_resample": (q_dsir_resample, Q_DSIR_RESAMPLE_SQL),
     # --- block 3: driver-green in CORRECTNESS_r03 (50/50 pass) ---
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),
@@ -4070,7 +4212,6 @@ QUERIES = {
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "quality": (q_quality, Q_QUALITY_SQL),
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
-    "pretokenize_count": (q_pretokenize_count, Q_PRETOKENIZE_COUNT_SQL),
     "fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
     "xpath_valid": (q_xpath_valid, Q_XPATH_VALID_SQL),
     "xpath_match": (q_xpath_match, Q_XPATH_MATCH_SQL),

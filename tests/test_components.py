@@ -89,6 +89,28 @@ def test_dedup_clusters_covers_all_docs(spark):
     assert rows[0]["cluster_id"] == 0 and rows[0]["is_canonical"]
 
 
+def test_dedup_survivors_accounting(spark):
+    """Survivors = the canonical docs; sizes partition the corpus; char
+    accounting is exact vs a plain-Python union-find reference."""
+    from sparkcrawl.components import dedup_survivors
+
+    texts = {i: "x" * (10 + 3 * i) for i in range(8)}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (6, 7)], PAIRS)
+    rows = {r["doc_id"]: r for r in dedup_survivors(docs, pairs).collect()}
+    # survivors: 0,1,2,4,6 (clusters {1,3,5} and {6,7}; rest singletons)
+    assert set(rows) == {0, 1, 2, 4, 6}
+    assert rows[1]["cluster_size"] == 3
+    assert rows[1]["cluster_chars"] == sum(len(texts[i]) for i in (1, 3, 5))
+    assert rows[1]["chars_dropped"] == len(texts[3]) + len(texts[5])
+    assert rows[6]["cluster_size"] == 2
+    assert rows[6]["chars_dropped"] == len(texts[7])
+    assert rows[0]["cluster_size"] == 1 and rows[0]["chars_dropped"] == 0
+    assert sum(r["cluster_size"] for r in rows.values()) == 8
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------

@@ -635,6 +635,44 @@ def test_line_dedup_within_doc_repeats_dont_count(spark):
     assert got[0] == "echo echo line\necho echo line\nbody zero"
 
 
+def test_dsir_resample_gumbel_python_reference(spark):
+    """dsir_resample vs a hashlib/math reference of the Gumbel top-k key:
+    key_q = round((weight_q/1e6 - ln(-ln((md5int+0.5)/2^32))) * 1e6),
+    top-k by (key_q desc, doc_id) — and invariant to input partitioning."""
+    import hashlib
+    import math
+
+    from sparkcrawl.curation import dsir_resample, dsir_weights
+
+    rows = [
+        (i, f"word{i % 5} common text number {i} tail", i % 3 == 0)
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean"
+    )
+    weights = {
+        r["doc_id"]: r["weight_q"] for r in dsir_weights(d).collect()
+    }
+
+    def key_q(i):
+        u = (
+            int(hashlib.md5(f"gum:{i}".encode()).hexdigest()[:8], 16) + 0.5
+        ) / 2**32
+        return round(
+            (weights[i] / 1_000_000 - math.log(-math.log(u))) * 1_000_000
+        )
+
+    expect = sorted(
+        ((key_q(i), i) for i, _, _ in rows), key=lambda t: (-t[0], t[1])
+    )[:10]
+    got = dsir_resample(d, k=10).collect()
+    assert [(r["key_q"], r["doc_id"]) for r in got] == expect
+    assert all(r["weight_q"] == weights[r["doc_id"]] for r in got)
+    got_wide = dsir_resample(d.repartition(7, "text"), k=10).collect()
+    assert [tuple(r) for r in got_wide] == [tuple(r) for r in got]
+
+
 def test_dsir_weights_n_buckets_must_match_hash_width(spark):
     """dsir_weights hashes features to 16^w buckets via a w-hex-char md5
     prefix; the Laplace smoothing uses n_buckets as B. The two must agree,
