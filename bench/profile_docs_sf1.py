@@ -32,7 +32,10 @@ DEFAULT_OPS = ("boilerplate_ngrams", "pii_scrub", "curation_pipeline",
                # should be ~flat after the one corpus pass — the claim),
                # heldout inference, token packing, WARC render+parse
                "bpe_merges", "bpe_tokenize", "bpe_apply_heldout",
-               "token_shard_packing", "warc_roundtrip")
+               "token_shard_packing", "warc_roundtrip",
+               # round-4 batch 2: dedup applied (LSH pairs + closure +
+               # accounting) and DSIR's Gumbel top-k selection
+               "dedup_survivors", "dsir_resample")
 
 
 def main():

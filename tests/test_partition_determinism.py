@@ -63,6 +63,9 @@ def test_new_query_catalog_identical_across_widths(spark):
         # round 4: trained merges (iterative), global token rank, global
         # (url, ts) shard rank
         "bpe_merges", "token_shard_packing", "warc_roundtrip",
+        # round 4 batch 2: iterative closure + integer accounting, and
+        # a quantized-float global top-k
+        "dedup_survivors", "dsir_resample",
     )
     sf = "/root/testdata/sf0.001"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
