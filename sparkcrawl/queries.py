@@ -1872,6 +1872,76 @@ ORDER BY d.doc_id
 """
 
 
+def q_windowed_lsh_pairs(spark, sf_dir):
+    """Windowed MinHash-LSH near-dup candidates (streaming_lsh_pairs run
+    in its batch shape — the SAME function the AvailableNow stream runs,
+    with stream==batch equality tested in tests/test_streaming.py, so
+    this oracle row transitively verifies the streaming operator): docs
+    landing in the same 60 s tumbling event-time window that share an
+    (band, bucket) LSH key, deduped across bands with the agreement
+    count. Event time synthesized as epoch 1700000000 + doc_id % 120 (two
+    windows); windows reported as epoch seconds — pure integer math both
+    engines."""
+    from sparkcrawl.streaming import streaming_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 120),
+    )
+    out = streaming_lsh_pairs(d, n_hashes=16, bands=8, hash_fn="md5")
+    return out.select(
+        F.col("win_start").cast("long").alias("win_start_s"),
+        F.col("win_end").cast("long").alias("win_end_s"),
+        "doc_a",
+        "doc_b",
+        F.col("n_bands").cast("long").alias("n_bands"),
+    ).orderBy("win_start_s", "doc_a", "doc_b")
+
+
+Q_WINDOWED_LSH_PAIRS_SQL = """
+WITH expl AS (
+  SELECT doc_id, unnest(
+    [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+     for i in range(1, greatest(len(tokens) - 1, 1))]) AS s
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+    FROM documents
+  )
+),
+ks AS (SELECT unnest(range(0, 16)) AS k),
+sig AS (
+  SELECT e.doc_id, ks.k,
+         MIN(md5(CAST(ks.k AS VARCHAR) || ':' || e.s)) AS mh
+  FROM expl e CROSS JOIN ks
+  GROUP BY e.doc_id, ks.k
+),
+band AS (
+  SELECT doc_id, k // 2 AS band,
+         md5(string_agg(mh, ',' ORDER BY k)) AS bucket
+  FROM sig GROUP BY doc_id, k // 2
+),
+win AS (
+  SELECT doc_id,
+         ((1700000000 + doc_id % 120) // 60) * 60 AS ws
+  FROM documents
+),
+agg AS (
+  SELECT wa.ws, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS n_bands
+  FROM band a
+  JOIN band b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  JOIN win wa ON wa.doc_id = a.doc_id
+  JOIN win wb ON wb.doc_id = b.doc_id AND wb.ws = wa.ws
+  GROUP BY wa.ws, a.doc_id, b.doc_id
+)
+SELECT CAST(ws AS BIGINT) AS win_start_s,
+       CAST(ws + 60 AS BIGINT) AS win_end_s,
+       doc_a, doc_b, CAST(n_bands AS BIGINT) AS n_bands
+FROM agg ORDER BY win_start_s, doc_a, doc_b
+"""
+
+
 def q_dedup_survivors(spark, sf_dir):
     """Near-dup dedup APPLIED (components.dedup_survivors): one row per
     surviving document with the cluster's member count and char
@@ -4174,6 +4244,7 @@ QUERIES = {
     "pretokenize_count": (q_pretokenize_count, Q_PRETOKENIZE_COUNT_SQL),
     "dedup_survivors": (q_dedup_survivors, Q_DEDUP_SURVIVORS_SQL),
     "dsir_resample": (q_dsir_resample, Q_DSIR_RESAMPLE_SQL),
+    "windowed_lsh_pairs": (q_windowed_lsh_pairs, Q_WINDOWED_LSH_PAIRS_SQL),
     # --- block 3: driver-green in CORRECTNESS_r03 (50/50 pass) ---
     "frontier_host_cap": (q_frontier_host_cap, Q_FRONTIER_HOST_CAP_SQL),
     "recrawl_304": (q_recrawl_304, Q_RECRAWL_304_SQL),

@@ -26,6 +26,7 @@ __all__ = [
     "start_corpus_export",
     "stateful_sessionize",
     "streaming_dedup",
+    "streaming_lsh_pairs",
 ]
 
 
@@ -180,6 +181,81 @@ def streaming_dedup(
         d.groupBy("content_md5")
         .agg(F.min_by(F.struct(*d.columns), tie).alias("_row"))
         .select("_row.*")
+    )
+
+
+def streaming_lsh_pairs(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    window: str = "60 seconds",
+    watermark: str = "30 seconds",
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Streaming NEAR-dup candidates — MinHash-LSH as documents arrive.
+
+    The batch path (textops.lsh_candidate_pairs) self-joins band buckets;
+    a stream can't self-join its whole history, so the streaming
+    formulation windows the bucket instead: docs landing in the same
+    tumbling event-time ``window`` with an equal (band, bucket) key are
+    near-dup candidates. Two chained stateful operators, both
+    watermark-bounded (Spark's supported multi-stateful append shape):
+
+      1. window x (band, bucket) -> sort_array(collect_set(id)) — the
+         signature/banding projection above it is per-row JVM expressions
+         only (textops.band_buckets), so the ONLY state is the per-bucket
+         id set inside the live window horizon: LSH's premise is that
+         buckets are small, and state evicts as the watermark passes.
+      2. explode the i<j pairs, then window(window_time(...)) x pair ->
+         count(bands agreeing) — dedups across bands exactly like the
+         batch path's ``distinct``, and n_bands is the agreement strength
+         (rows/bands Jaccard evidence) for free.
+
+    Works identically on a batch frame (same expressions, watermark
+    skipped) — tests replay the same files both ways and require exact
+    equality; the driver catalog's `windowed_lsh_pairs` runs the batch
+    shape against a DuckDB oracle, so stream == batch == oracle chains.
+    """
+    from sparkcrawl.textops import band_buckets
+
+    d = docs.withWatermark(ts_col, watermark) if docs.isStreaming else docs
+    b = band_buckets(
+        d, n_hashes, bands, shingle_n, text_col, id_col, hash_fn,
+        extra_cols=(ts_col,),
+    )
+    g = (
+        b.groupBy(
+            F.window(F.col(ts_col), window).alias("win"), "band", "bucket"
+        )
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    e1 = g.select("win", "ids", F.posexplode("ids").alias("i", "doc_a"))
+    e2 = e1.select(
+        "win",
+        "doc_a",
+        F.explode(
+            F.slice("ids", F.col("i") + 2, F.size("ids"))
+        ).alias("doc_b"),
+    )
+    return (
+        e2.groupBy(
+            F.window(F.window_time("win"), window).alias("win"),
+            "doc_a",
+            "doc_b",
+        )
+        .agg(F.count("*").alias("n_bands"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "doc_a",
+            "doc_b",
+            "n_bands",
+        )
     )
 
 

@@ -41,6 +41,10 @@ def ensure_width(df: DataFrame, *cols: str) -> DataFrame:
     branch). At design scale scans and exchanges are already wide, the
     partition-count check short-circuits, and this is a no-op.
     """
+    if df.isStreaming:
+        # no static partition count to inspect (.rdd is illegal on a
+        # stream), and micro-batch width is the source's planning concern
+        return df
     spark = df.sparkSession
     w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if df.rdd.getNumPartitions() >= w:
@@ -146,7 +150,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
     return d.withColumn("minhash", sig).drop("tokens", "shingles")
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     docs: DataFrame,
     n_hashes: int = 16,
     bands: int = 4,
@@ -154,20 +158,23 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Banded-LSH candidate pairs: docs sharing any band bucket.
+    """(id, band, bucket [, extra_cols]) LSH band keys per document.
 
     Each signature splits into ``bands`` bands of n_hashes/bands rows; a
-    band's bucket key is the hash of its values; pairs form by self-join
-    WITHIN (band, bucket) — the shuffle key is the bucket, never all-pairs.
-    hash_fn as in minhash_signatures; docs with no shingles never pair.
+    band's key is the hash of its joined values. Everything here is a
+    per-row JVM expression (shingle transform -> salted minima -> band
+    hash -> posexplode) — NO aggregation, so the projection applies to
+    batch AND streaming frames alike; docs with no shingles emit no rows.
     """
     rows = n_hashes // bands
     hf = F.xxhash64 if hash_fn == "xxhash64" else F.md5
     sig = minhash_signatures(docs, n_hashes, shingle_n, text_col, hash_fn)
     sig = sig.filter(F.element_at("minhash", 1).isNotNull())
-    banded = sig.select(
+    return sig.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
         F.posexplode(
             F.array(
                 *[
@@ -184,6 +191,27 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band", "bucket"),
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing any band bucket.
+
+    Each signature splits into ``bands`` bands of n_hashes/bands rows; a
+    band's bucket key is the hash of its values; pairs form by self-join
+    WITHIN (band, bucket) — the shuffle key is the bucket, never all-pairs.
+    hash_fn as in minhash_signatures; docs with no shingles never pair.
+    """
+    banded = band_buckets(
+        docs, n_hashes, bands, shingle_n, text_col, id_col, hash_fn
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

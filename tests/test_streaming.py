@@ -262,3 +262,68 @@ def test_streaming_dedup_batch_fallback_is_min_first_and_stable(spark):
     assert survivors(7) == got
     assert survivors(32) == got
     assert {d for d, _ in got} == {2, 5}
+
+
+def test_streaming_lsh_pairs_stream_equals_batch(spark, tmp_path):
+    """streaming_lsh_pairs: the chained windowed-agg near-dup candidates
+    are identical replayed as an AvailableNow stream (append mode, both
+    stateful operators watermark-bounded) and computed in batch on the
+    same files. A far-future sentinel doc in the last file pushes the
+    watermark past every real window so append mode finalizes them; its
+    text shares no shingles, so it adds no pairs to either side."""
+    import datetime as dt
+
+    from sparkcrawl.streaming import read_event_stream, streaming_lsh_pairs
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    dup = "the quick brown fox jumps over the lazy dog today"
+    near = "the quick brown fox jumps over the lazy dog tonight"
+    batches = [
+        [(0, dup, t0), (1, dup, t0),
+         (2, "completely unrelated words in this document body", t0)],
+        # same content re-arriving in the NEXT window: pairs only with
+        # its window-mates, never across windows
+        [(3, dup, t0 + dt.timedelta(seconds=90)),
+         (4, near, t0 + dt.timedelta(seconds=95))],
+        [(999, "watermark sentinel advancing event time only",
+          t0 + dt.timedelta(hours=1))],
+    ]
+    src = str(tmp_path / "docs")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+
+    stream = streaming_lsh_pairs(
+        read_event_stream(
+            spark, f"{src}/b*", DOCS_SCHEMA, max_files_per_trigger=1
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("lsh_pairs_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.table("lsh_pairs_test").collect())
+    )
+
+    all_rows = [r for b in batches for r in b]
+    want = sorted(
+        map(
+            tuple,
+            streaming_lsh_pairs(
+                spark.createDataFrame(all_rows, DOCS_SCHEMA)
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the duplicate pair is found in its own window with all 8 bands
+    # agreeing; doc 3's identical content never pairs across windows
+    by_pair = {(r[2], r[3]): r[4] for r in got}
+    assert by_pair[(0, 1)] == 8
+    assert (0, 3) not in by_pair and (1, 3) not in by_pair
+    assert by_pair[(3, 4)] >= 1
