@@ -35,7 +35,7 @@ DEFAULT_OPS = ("boilerplate_ngrams", "pii_scrub", "curation_pipeline",
                "token_shard_packing", "warc_roundtrip",
                # round-4 batch 2: dedup applied (LSH pairs + closure +
                # accounting) and DSIR's Gumbel top-k selection
-               "dedup_survivors", "dsir_resample")
+               "dedup_survivors", "dsir_resample", "windowed_lsh_pairs")
 
 
 def main():
