@@ -220,6 +220,23 @@ def main() -> None:
                 ],
             }
         )
+    try:
+        # Contemporaneous host-health evidence: this sandbox's multi-core
+        # streaming bandwidth is hypervisor-throttled in minute-scale
+        # windows (15x swings; see BENCH/BASELINE.md "Host bandwidth
+        # instability diagnosis"). A run whose sample shows 8t < 2t
+        # aggregate ran throttled — interpret absolute walls against the
+        # r2/r3 series with that in mind; ratios within one run remain
+        # comparable.
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench"))
+        import hostprobe
+
+        out["host_mem_2t_gbps"] = round(hostprobe.leg("mem", 2, 3.0) / 1e9, 1)
+        out["host_mem_8t_gbps"] = round(hostprobe.leg("mem", 8, 3.0) / 1e9, 1)
+    except Exception:
+        pass
     print(json.dumps(out))
 
 
