@@ -235,8 +235,10 @@ def main() -> None:
 
         out["host_mem_2t_gbps"] = round(hostprobe.leg("mem", 2, 3.0) / 1e9, 1)
         out["host_mem_8t_gbps"] = round(hostprobe.leg("mem", 8, 3.0) / 1e9, 1)
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001 — probe is best-effort evidence
+        # Stamp the failure explicitly: an artifact missing host_mem_* keys
+        # must be distinguishable from an intentionally probe-free run.
+        out["host_probe_err"] = repr(e)
     print(json.dumps(out))
 
 

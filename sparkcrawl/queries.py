@@ -2709,12 +2709,12 @@ w AS (
 ),
 keyed AS (
   SELECT doc_id, CAST(weight_q AS BIGINT) AS weight_q,
-         CAST(round(
+         CAST(floor(
            (weight_q / 1000000.0
             - ln(-ln((CAST('0x' || substr(
                   md5('gum:' || CAST(doc_id AS VARCHAR)), 1, 8)
                   AS BIGINT) + 0.5) / 4294967296.0)))
-           * 1000000.0) AS BIGINT) AS key_q
+           * 1000000.0 + 0.5) AS BIGINT) AS key_q
   FROM w
 )
 SELECT doc_id, weight_q, key_q

@@ -27,6 +27,8 @@ __all__ = [
     "stateful_sessionize",
     "streaming_dedup",
     "streaming_lsh_pairs",
+    "lsh_bucket_sets",
+    "lsh_bucket_drops",
 ]
 
 
@@ -184,6 +186,72 @@ def streaming_dedup(
     )
 
 
+def lsh_bucket_sets(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    window: str = "60 seconds",
+    watermark: str = "30 seconds",
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    max_bucket_ids: int = 1024,
+) -> DataFrame:
+    """Stage 1 of the streaming LSH pipeline: per (event-time window, band,
+    bucket) sorted id set, CAPPED at ``max_bucket_ids`` members.
+
+    The cap bounds the one state cell that is otherwise unbounded: an
+    adversarial window (e.g. 1e5 boilerplate docs sharing a band hash
+    inside one watermark horizon) would build a 1e5-id set and a 1e10-pair
+    explode downstream. With the cap, state per cell is O(K) and the pair
+    explode O(K^2) worst-case. The kept members are the K SMALLEST ids in
+    sort order — deterministic and partition-invariant, so capped output
+    is still reproducible (never "first K to arrive"). The drop is NOT
+    silent: ``n_ids`` carries the true pre-cap cardinality, so
+    ``n_ids > size(ids)`` marks a capped bucket (see lsh_bucket_drops) —
+    on buckets within the cap the ids are exactly the uncapped set, which
+    is what keeps the `windowed_lsh_pairs` oracle equality intact.
+    """
+    from sparkcrawl.textops import band_buckets
+
+    d = docs.withWatermark(ts_col, watermark) if docs.isStreaming else docs
+    b = band_buckets(
+        d, n_hashes, bands, shingle_n, text_col, id_col, hash_fn,
+        extra_cols=(ts_col,),
+    )
+    return (
+        b.groupBy(
+            F.window(F.col(ts_col), window).alias("win"), "band", "bucket"
+        )
+        .agg(F.sort_array(F.collect_set("id")).alias("ids_full"))
+        .select(
+            "win",
+            "band",
+            "bucket",
+            F.size("ids_full").cast("long").alias("n_ids"),
+            F.slice("ids_full", 1, max_bucket_ids).alias("ids"),
+        )
+    )
+
+
+def lsh_bucket_drops(bucket_sets: DataFrame) -> DataFrame:
+    """The non-silent side of lsh_bucket_sets' cap: one row per capped
+    (window, band, bucket) with the true cardinality and the number of ids
+    excluded from candidate pairing. Empty whenever no bucket exceeded the
+    cap. Attach as a monitoring sink (or assert empty in tests) so capped
+    recall is observable, never silently absorbed."""
+    return bucket_sets.filter(F.col("n_ids") > F.size("ids")).select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "band",
+        "bucket",
+        "n_ids",
+        (F.col("n_ids") - F.size("ids")).cast("long").alias("n_dropped"),
+    )
+
+
 def streaming_lsh_pairs(
     docs: DataFrame,
     ts_col: str = "ts",
@@ -195,6 +263,7 @@ def streaming_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    max_bucket_ids: int = 1024,
 ) -> DataFrame:
     """Streaming NEAR-dup candidates — MinHash-LSH as documents arrive.
 
@@ -219,21 +288,26 @@ def streaming_lsh_pairs(
     skipped) — tests replay the same files both ways and require exact
     equality; the driver catalog's `windowed_lsh_pairs` runs the batch
     shape against a DuckDB oracle, so stream == batch == oracle chains.
-    """
-    from sparkcrawl.textops import band_buckets
 
-    d = docs.withWatermark(ts_col, watermark) if docs.isStreaming else docs
-    b = band_buckets(
-        d, n_hashes, bands, shingle_n, text_col, id_col, hash_fn,
-        extra_cols=(ts_col,),
-    )
-    g = (
-        b.groupBy(
-            F.window(F.col(ts_col), window).alias("win"), "band", "bucket"
-        )
-        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    State bound: the per-bucket id set is capped at ``max_bucket_ids``
+    (lsh_bucket_sets), so the worst adversarial bucket costs O(K) state
+    and O(K^2) pairs instead of O(n)/O(n^2). Capped buckets pair only the
+    K smallest ids; surface the drops via
+    ``lsh_bucket_drops(lsh_bucket_sets(docs, ...))`` — never silent. On
+    data where no bucket exceeds the cap (every test web and the driver
+    oracle), output is bit-identical to the uncapped formulation.
+
+    Recall caveat (documented, by design): only docs landing in the SAME
+    tumbling ``window`` are candidates — near-dups straddling a window
+    boundary (t=59s vs t=61s on a 60s window) are never paired. Callers
+    comparing stream output against full-history batch dedup should
+    expect that gap; the batch path (textops.lsh_candidate_pairs) has no
+    window and is the full-recall tool.
+    """
+    g = lsh_bucket_sets(
+        docs, ts_col, window, watermark, n_hashes, bands, shingle_n,
+        text_col, id_col, hash_fn, max_bucket_ids,
+    ).filter(F.size("ids") > 1)
     e1 = g.select("win", "ids", F.posexplode("ids").alias("i", "doc_a"))
     e2 = e1.select(
         "win",

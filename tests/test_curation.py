@@ -637,8 +637,9 @@ def test_line_dedup_within_doc_repeats_dont_count(spark):
 
 def test_dsir_resample_gumbel_python_reference(spark):
     """dsir_resample vs a hashlib/math reference of the Gumbel top-k key:
-    key_q = round((weight_q/1e6 - ln(-ln((md5int+0.5)/2^32))) * 1e6),
-    top-k by (key_q desc, doc_id) — and invariant to input partitioning."""
+    key_q = floor((weight_q/1e6 - ln(-ln((md5int+0.5)/2^32))) * 1e6 + 0.5)
+    (tie-stable HALF_UP in all three implementations), top-k by
+    (key_q desc, doc_id) — and invariant to input partitioning."""
     import hashlib
     import math
 
@@ -659,8 +660,9 @@ def test_dsir_resample_gumbel_python_reference(spark):
         u = (
             int(hashlib.md5(f"gum:{i}".encode()).hexdigest()[:8], 16) + 0.5
         ) / 2**32
-        return round(
+        return math.floor(
             (weights[i] / 1_000_000 - math.log(-math.log(u))) * 1_000_000
+            + 0.5
         )
 
     expect = sorted(

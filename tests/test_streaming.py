@@ -47,7 +47,7 @@ def test_windowed_rates_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = {
         (r["win_start"], r["action"]): r["n"]
         for r in spark.table("rates_test").collect()
@@ -110,7 +110,7 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     # update-mode sink holds every emitted version; the final state of each
     # session is the row with the largest n_events (monotone within session)
     got = {
@@ -166,7 +166,7 @@ def test_streaming_corpus_export(spark, tmp_path):
         str(tmp_path / "ckpt"),
         max_records_per_file=20,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
 
     lines = []
     for name in os.listdir(out):
@@ -219,7 +219,7 @@ def test_streaming_dedup_suppresses_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = spark.table("dedup_test").collect()
 
     all_rows = [r for b in batches for r in b]
@@ -306,7 +306,7 @@ def test_streaming_lsh_pairs_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = sorted(
         map(tuple, spark.table("lsh_pairs_test").collect())
     )
@@ -327,3 +327,92 @@ def test_streaming_lsh_pairs_stream_equals_batch(spark, tmp_path):
     assert by_pair[(0, 1)] == 8
     assert (0, 3) not in by_pair and (1, 3) not in by_pair
     assert by_pair[(3, 4)] >= 1
+
+
+def test_streaming_lsh_hot_bucket_cap_bounds_state(spark):
+    """Adversarial hot bucket: 10^4 near-identical docs inside ONE window
+    share every band bucket. Uncapped, stage 1 builds a 10^4-id state cell
+    and stage 2 a ~4x10^7-pair explode; with max_bucket_ids=K the pair
+    count is bounded by bands*C(K,2), the kept members are the K SMALLEST
+    ids (deterministic at any partitioning), and the truncation surfaces
+    in lsh_bucket_drops — never silent. Batch shape (the expressions are
+    shared with the stream verbatim; stream==batch is proved by
+    test_streaming_lsh_pairs_stream_equals_batch)."""
+    import datetime as dt
+
+    from sparkcrawl.streaming import (
+        lsh_bucket_drops,
+        lsh_bucket_sets,
+        streaming_lsh_pairs,
+    )
+
+    n, k, bands = 10_000, 32, 8
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    boiler = "identical boilerplate body repeated across the whole batch"
+    d = spark.createDataFrame(
+        [(i, boiler, t0) for i in range(n)], DOCS_SCHEMA
+    ).repartition(16)
+
+    sets = lsh_bucket_sets(d, max_bucket_ids=k)
+    cells = sets.collect()
+    # bounded state: every materialized cell holds exactly K ids but
+    # reports the true pre-cap cardinality
+    assert len(cells) == bands
+    assert all(len(r["ids"]) == k and r["n_ids"] == n for r in cells)
+    # deterministic keep rule: the K smallest ids, not arrival order
+    assert all(r["ids"] == sorted(r["ids"])[:k] for r in cells)
+    assert all(r["ids"][-1] == str(k - 1) or r["ids"][-1] == k - 1
+               for r in cells) or all(
+        max(int(x) if isinstance(x, str) else x for x in r["ids"]) == k - 1
+        for r in cells
+    )
+
+    # non-silent: the drop surface carries one row per capped cell
+    drops = lsh_bucket_drops(sets).collect()
+    assert len(drops) == bands
+    assert all(r["n_dropped"] == n - k and r["n_ids"] == n for r in drops)
+
+    # bounded pair output: C(K,2) pairs, all bands agreeing, only the K
+    # smallest doc ids participate
+    pairs = streaming_lsh_pairs(d, max_bucket_ids=k).collect()
+    assert len(pairs) == k * (k - 1) // 2
+    assert all(r["n_bands"] == bands for r in pairs)
+    assert max(max(r["doc_a"], r["doc_b"]) for r in pairs) == k - 1
+
+    # partition invariance of the capped result
+    pairs1 = sorted(
+        map(tuple, streaming_lsh_pairs(
+            d.repartition(3), max_bucket_ids=k).collect())
+    )
+    assert pairs1 == sorted(map(tuple, pairs))
+
+
+def test_streaming_lsh_cap_noop_below_threshold(spark):
+    """On data where no bucket exceeds the cap, the capped formulation is
+    bit-identical to an effectively-uncapped one and the drop surface is
+    empty — the oracle-equality guarantee for `windowed_lsh_pairs`."""
+    import datetime as dt
+
+    from sparkcrawl.streaming import (
+        lsh_bucket_drops,
+        lsh_bucket_sets,
+        streaming_lsh_pairs,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    dup = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (0, dup, t0),
+        (1, dup, t0),
+        (2, "completely unrelated words in this document body", t0),
+        (3, dup + " tonight", t0),
+    ]
+    d = spark.createDataFrame(rows, DOCS_SCHEMA)
+    capped = sorted(
+        map(tuple, streaming_lsh_pairs(d, max_bucket_ids=8).collect())
+    )
+    uncapped = sorted(
+        map(tuple, streaming_lsh_pairs(d, max_bucket_ids=1 << 30).collect())
+    )
+    assert capped == uncapped and len(capped) > 0
+    assert lsh_bucket_drops(lsh_bucket_sets(d, max_bucket_ids=8)).count() == 0
