@@ -17,11 +17,21 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_entry_runs(spark):
+    """entry() drives two REAL CrawlEngine rounds over a web synthesized
+    from sf0.001 documents; per-host metrics are deterministic across
+    calls (fresh store each run, no randomness/wall-clock inputs)."""
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0
     assert df.columns == [
-        "host", "n_fetched", "n_unique_content", "first_seq"
+        "host", "n_crawled", "n_unique_content", "first_round", "last_round"
+    ]
+    # both engine rounds actually stored documents
+    assert {r["first_round"] for r in rows} == {1, 2} or {
+        r["last_round"] for r in rows
+    } >= {1, 2}
+    assert [tuple(r) for r in entrymod.entry(spark).collect()] == [
+        tuple(r) for r in rows
     ]
 
 
