@@ -140,9 +140,19 @@ def bench_crawl(spark, size: str, rounds: int) -> dict:
 
 
 def bench_bulk(spark, size: str) -> float:
-    """Data-plane pages/sec: one pass of admission+extract+dedup+lang over
-    the whole bench web, steady state (2nd run — warm Python workers and
-    compiled plans). The loop-free component of the north-star metric."""
+    """Data-plane pages/sec: admission+extract+dedup+lang over the whole
+    bench web, steady state. The loop-free component of the north-star
+    metric.
+
+    Estimator (round 5): TWO warmup passes, then the MEDIAN of three
+    timed passes. The r4 "bulk drift" (20,580 -> ~19,000 p/s vs r3)
+    root-caused to measurement variance, not the pipeline: the bulk code
+    path is byte-identical r3..r4 (git diff of extract/urlnorm/filters/
+    session), and bench/bulk_context_ab.py showed a single warmup pass
+    under-warms the 32-core Python worker pool / codegen (pass series
+    13.9k, 16.0k, 20.5k, 21.1k, 21.2k, 20.9k on a throttled host —
+    steady state needs ~3 passes and then matches/beats r3 even with
+    host memcpy at 1-14 GB/s vs >50 healthy)."""
     from pyspark.sql import Window as W, functions as F
 
     from sparkcrawl import schema as S
@@ -172,9 +182,13 @@ def bench_bulk(spark, size: str) -> float:
         ).collect()
 
     one_pass()
-    t0 = time.time()
     one_pass()
-    return round(n_pages / (time.time() - t0), 1)
+    rates = []
+    for _ in range(3):
+        t0 = time.time()
+        one_pass()
+        rates.append(n_pages / (time.time() - t0))
+    return round(sorted(rates)[1], 1)
 
 
 def main() -> None:
