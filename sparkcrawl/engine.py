@@ -71,6 +71,16 @@ class CrawlConfig:
     # robots-bearing hosts set False: the same equi-joins then plan as
     # shuffled joins on host (identical results, tested).
     broadcast_host_state: bool = True
+    # Crossover for the broadcast: each F.broadcast build is its own Spark
+    # job (~80-170 ms of pure driver/scheduler latency on this class of
+    # host, x3 host-state joins per round), amortized only when the
+    # frontier side is big enough that shuffling it on host would cost
+    # more. Rounds whose frontier estimate is below this floor take the
+    # shuffled plan (the exchange is then a few-MB narrow-column hop);
+    # at/above it the broadcast ships. Outputs are identical either way
+    # (same equi-joins; e2e-tested) — this only picks the cheaper plan
+    # per regime, exactly like fetch_join="auto".
+    broadcast_min_frontier: int = 1_000_000
     # Fetch-join strategy for pruning the web table to the selected rows:
     # "broadcast" ships the selected url_norm keys to every executor (right
     # for small rounds — one tiny broadcast, web never shuffles);
@@ -117,6 +127,17 @@ class CrawlConfig:
     # at the same bit budget; see sparkcrawl/cuckoo.py). Exactness never
     # depends on the choice (tested identical to use_bloom=False).
     seen_filter: str = "bloom"
+    # Crossover for the PREFILTER stage (never the filter's contents): the
+    # membership pandas_udf adds a fixed ~100-150 ms ArrowEvalPython stage
+    # to the round's critical path, which only pays once the seen table is
+    # big enough that the exact anti-join's scan of it dominates. Below
+    # this floor the round runs the pure exact anti-join (no Python
+    # stage); the filter still absorbs every round's admitted keys (the
+    # add rides the concurrent stage-writes phase), so it is complete —
+    # with zero false negatives — the moment the threshold engages.
+    # Exactness never depends on the choice (the bloom is a prefilter in
+    # front of the same exact anti-join; e2e-tested identical).
+    bloom_filter_min_seen: int = 1_000_000
     bloom_bits: int = 1 << 23  # ~1M urls at 8 bits/key locally
     # Bloom shard count B: shard = pmod(url_hash, B), one persisted file
     # per shard (seen.BloomState). At 10^10 URLs the ~12 GB bitmap ships
@@ -687,9 +708,16 @@ class CrawlEngine:
 
         # 1-2. politeness: delay gate, then per-host run-cap selection
         prev_meta = dict(store.meta)
+        # host-state join strategy for THIS round (see
+        # cfg.broadcast_min_frontier): broadcast only when the frontier is
+        # big enough to amortize the per-round broadcast-build jobs
+        fe = prev_meta.get("n_frontier")
+        host_bc = cfg.broadcast_host_state and (
+            fe is None or int(fe) >= cfg.broadcast_min_frontier
+        )
         eligible = politeness.eligible_hosts_filter(
             frontier, self.host_rules, host_clock, round_no,
-            hint_broadcast=cfg.broadcast_host_state,
+            hint_broadcast=host_bc,
             round_col="p_round",
         )
         # localCheckpoint (not cache): materializes AND truncates lineage, so
@@ -708,7 +736,7 @@ class CrawlEngine:
         selected = politeness.select_per_host(
             eligible, host_priority,
             frontier_size=int(prev_meta.get("n_frontier", 0)) or None,
-            hint_broadcast=cfg.broadcast_host_state,
+            hint_broadcast=host_bc,
             default_delay_hosts=dd_hosts,
         )
         selected = tk.barrier("select", selected)
@@ -716,7 +744,7 @@ class CrawlEngine:
         # 3. robots disallow (broadcast join + JVM exists())
         sel = robots.join_rules(
             selected, self.host_rules,
-            hint_broadcast=cfg.broadcast_host_state,
+            hint_broadcast=host_bc,
         )
         sel = sel.withColumn("_denied", robots.denied_predicate()).drop(
             "disallow_prefixes", "crawl_delay", "agent_specific"
@@ -930,7 +958,15 @@ class CrawlEngine:
         # rank exchange would otherwise each re-execute the Bloom prefilter
         # + exact anti-join against the (ever-growing) seen table — the
         # dominant re-computed slice of the per-round fixed cost.
-        if cfg.use_bloom:
+        # the prefilter engages only past the seen-size crossover (see
+        # cfg.bloom_filter_min_seen) — below it the round runs the pure
+        # exact anti-join, skipping the fixed-cost membership UDF stage.
+        # The filter's CONTENTS stay complete either way (adds run every
+        # round in the stage-writes phase), so engaging it later is safe.
+        bloom_on = cfg.use_bloom and (
+            int(prev_meta.get("n_seen", 0)) >= cfg.bloom_filter_min_seen
+        )
+        if bloom_on:
             new_rows = seenmod.anti_join_with_bloom(cand, seen, self.bloom())
         else:
             new_rows = seenmod.anti_join_seen(cand, seen, use_bloom=False)
@@ -966,7 +1002,34 @@ class CrawlEngine:
             .withColumn("_pid", F.spark_partition_id())
         ).localCheckpoint(eager=False)
         _track(scratch, traced)
-        with ThreadPoolExecutor(max_workers=2) as cex:
+        # ---- frames that read only the pinned got/fx/selected checkpoints,
+        # defined up front so their stage writes overlap the counter/seq
+        # jobs below (round-5 census: every write previously waited for the
+        # counters, paying two sequential job-latency windows per round) ----
+        # content_seen gains the hash of every dedup WINNER not already there
+        # (the reference's get-or-put inserts on first sight even when the
+        # lang check later drops the doc — DocumentParserBolt.java:155-194).
+        winners = got.filter(
+            (F.col("_dup_rn") == 1) & F.col("_in_cs").isNull()
+        )
+        # host clock: a GET happened for actions {fetched,dup_content,
+        # not_html_lang} (lastCrawled set at GET — XPathCrawler.java:162-164)
+        # and a 304 HEAD also updates it (CrawlerBolt.java:479)
+        got_hosts = got.select(
+            "host", F.col("p_round").alias("last_round")
+        ).distinct()  # p_round is constant, so this is distinct-by-host
+        new_clock = host_clock.join(
+            got_hosts.select("host"), "host", "left_anti"
+        ).unionByName(got_hosts)
+        lineage = (
+            got.groupBy(
+                F.spark_partition_id().alias("partition_id"),
+                F.col("p_round").alias("round"),  # constant per round
+            )
+            .agg(F.count("*").alias("n_rows"))
+            .select("round", "partition_id", "n_rows")
+        )
+        with ThreadPoolExecutor(max_workers=16) as cex:
             counts_f = cex.submit(
                 lambda: traced.groupBy("_pid", "action")
                 .agg(F.count("*").alias("n"))
@@ -975,6 +1038,39 @@ class CrawlEngine:
             # candidate-link count for the metrics row: a block count over
             # the pinned cand checkpoint, concurrent with the rank jobs
             n_links_f = cex.submit(cand.count)
+            # got-dependent stage writes, concurrent with the counter/seq
+            # jobs (everything they read is already materialized). A round
+            # that turns out all-deferred aborts these stages below
+            # (store.abort()), so an empty round's committed snapshot is
+            # identical to the old wait-then-write path.
+            write_futs = [
+                cex.submit(
+                    store.stage_append, "content_seen",
+                    winners.select(
+                        "content_hash", F.col("url_norm").alias("first_url")
+                    ),
+                ),
+                cex.submit(
+                    store.stage_append, "crawled",
+                    fetched.select(
+                        "url_norm", "host", F.col("p_round").alias("round"),
+                        "content_hash", F.col("ex_text").alias("text"),
+                        F.col("ex_lang").alias("lang"), "warc_ts",
+                    ),
+                ),
+                cex.submit(store.stage_overwrite, "host_clock", new_clock),
+                cex.submit(store.stage_append, "lineage", lineage),
+            ]
+            if delta:
+                # O(round) frontier maintenance: append the selected keys
+                # as tombstones (merge-on-read); admitted rows follow once
+                # dense_seq assigns their seq. The base is never rewritten.
+                write_futs.append(
+                    cex.submit(
+                        store.stage_append, "frontier_consumed",
+                        selected.select("url_norm"),
+                    )
+                )
             # dense_seq's offset prefix sum doubles as the admitted count —
             # no separate count() job. size_bound = the exact new-row count
             # from the barrier, so small rounds collapse to one partition.
@@ -983,6 +1079,42 @@ class CrawlEngine:
                 base=round_no << ROUND_SHIFT, size_bound=n_new,
                 scratch=scratch,
             )
+            new_frontier_rows = new_rows.select(
+                "url_norm", "host", "path",
+                (F.col("parent_depth") + 1).alias("depth"),
+                "seq", F.col("p_round").alias("round_added"),
+            )
+            new_seen = new_rows.select(
+                "url_norm",
+                F.xxhash64("url_norm").alias("url_hash"),
+                F.col("p_round").alias("round_added"),
+            )
+            if delta:
+                write_futs.append(
+                    cex.submit(
+                        store.stage_append, "frontier", new_frontier_rows
+                    )
+                )
+            else:
+                write_futs.append(
+                    cex.submit(
+                        store.stage_overwrite, "frontier",
+                        leftover.unionByName(new_frontier_rows),
+                    )
+                )
+                if store.exists("frontier_consumed"):
+                    # resuming a delta store in rewrite mode: leftover
+                    # already honored the tombstones (it came from
+                    # _read_frontier), so the overwrite folds them in —
+                    # drop the now-stale table
+                    store.stage_drop("frontier_consumed")
+            write_futs.append(
+                cex.submit(store.stage_append, "seen", new_seen)
+            )
+            if cfg.use_bloom:
+                write_futs.append(
+                    cex.submit(self.bloom().add_hashes_df, new_seen)
+                )
             counts: dict[str, int] = {}
             pid_counts: dict[int, int] = {}
             for r in counts_f.result():
@@ -992,13 +1124,30 @@ class CrawlEngine:
             for pid in sorted(pid_counts):
                 tr_offsets[pid] = acc
                 acc += pid_counts[pid]
+            # trace: every selected row gets exactly one action; ord =
+            # global rank by seq, assembled partition-free from the range
+            # partitioning + the prefix offsets the counters just paid for
+            trace = attach_rank(
+                traced, tr_offsets, ["seq"], col="ord"
+            ).select(
+                F.col("p_round").alias("round"),
+                F.col("ord").cast("int").alias("ord"),
+                "url_norm", "host", "action",
+            )
+            write_futs.append(
+                cex.submit(store.stage_append, "trace", trace)
+            )
             n_links = n_links_f.result()
+            for f in write_futs:
+                f.result()
         n_selected = sum(counts.values())
-        tk("seen+seq+counters")
+        tk("seen+seq+writes")
         if n_selected == 0:
-            # all frontier rows delay-deferred (or frontier empty): commit
-            # an empty round so the virtual clock advances; the frontier
-            # table is left untouched (no rewrite of deferred rows).
+            # all frontier rows delay-deferred (or frontier empty): discard
+            # the staged (necessarily empty) writes and commit an empty
+            # round so the virtual clock advances; the frontier table is
+            # left untouched — byte-identical to the pre-overlap behavior.
+            store.abort()
             store.stage_append_rows(
                 "metrics",
                 [(round_no, 0, 0, 0, 0, 0, 0, 0,
@@ -1015,101 +1164,9 @@ class CrawlEngine:
         n_dup = counts.get("dup_content", 0)
         n_get = n_fetched + n_dup + counts.get("not_html_lang", 0)
         n_denied = counts.get("robots_denied", 0)
-
-        # ---- stage writes: independent jobs, submitted concurrently so the
-        # 7 small write jobs overlap instead of paying 7 sequential
-        # job-latency floors (Spark schedulers accept jobs from threads) ----
-        new_frontier_rows = new_rows.select(
-            "url_norm", "host", "path",
-            (F.col("parent_depth") + 1).alias("depth"),
-            "seq", F.col("p_round").alias("round_added"),
-        )
-        new_seen = new_rows.select(
-            "url_norm",
-            F.xxhash64("url_norm").alias("url_hash"),
-            F.col("p_round").alias("round_added"),
-        )
-        # content_seen gains the hash of every dedup WINNER not already there
-        # (the reference's get-or-put inserts on first sight even when the
-        # lang check later drops the doc — DocumentParserBolt.java:155-194).
-        winners = got.filter(
-            (F.col("_dup_rn") == 1) & F.col("_in_cs").isNull()
-        )
-        # host clock: a GET happened for actions {fetched,dup_content,
-        # not_html_lang} (lastCrawled set at GET — XPathCrawler.java:162-164)
-        # and a 304 HEAD also updates it (CrawlerBolt.java:479)
-        got_hosts = got.select(
-            "host", F.col("p_round").alias("last_round")
-        ).distinct()  # p_round is constant, so this is distinct-by-host
-        new_clock = host_clock.join(
-            got_hosts.select("host"), "host", "left_anti"
-        ).unionByName(got_hosts)
-        # trace: every selected row gets exactly one action; ord = global
-        # rank by seq, assembled partition-free from the range partitioning
-        # + the prefix offsets the counters collect already paid for
-        trace = attach_rank(
-            traced, tr_offsets, ["seq"], col="ord"
-        ).select(
-            F.col("p_round").alias("round"),
-            F.col("ord").cast("int").alias("ord"),
-            "url_norm", "host", "action",
-        )
-        lineage = (
-            got.groupBy(
-                F.spark_partition_id().alias("partition_id"),
-                F.col("p_round").alias("round"),  # constant per round
-            )
-            .agg(F.count("*").alias("n_rows"))
-            .select("round", "partition_id", "n_rows")
-        )
-        if delta:
-            # O(round) frontier maintenance: append admitted rows + the
-            # selected keys as tombstones (both read off pinned
-            # checkpoints); the base is never rewritten here.
-            front_tasks = [
-                lambda: store.stage_append("frontier", new_frontier_rows),
-                lambda: store.stage_append(
-                    "frontier_consumed", selected.select("url_norm")
-                ),
-            ]
-        else:
-            front_tasks = [
-                lambda: store.stage_overwrite(
-                    "frontier", leftover.unionByName(new_frontier_rows)
-                ),
-            ]
-            if store.exists("frontier_consumed"):
-                # resuming a delta store in rewrite mode: leftover already
-                # honored the tombstones (it came from _read_frontier), so
-                # the overwrite folds them in — drop the now-stale table
-                store.stage_drop("frontier_consumed")
-        tasks = front_tasks + [
-            lambda: store.stage_append("seen", new_seen),
-            lambda: store.stage_append(
-                "content_seen",
-                winners.select(
-                    "content_hash", F.col("url_norm").alias("first_url")
-                ),
-            ),
-            lambda: store.stage_append(
-                "crawled",
-                fetched.select(
-                    "url_norm", "host", F.col("p_round").alias("round"),
-                    "content_hash", F.col("ex_text").alias("text"),
-                    F.col("ex_lang").alias("lang"), "warc_ts",
-                ),
-            ),
-            lambda: store.stage_overwrite("host_clock", new_clock),
-            lambda: store.stage_append("trace", trace),
-            lambda: store.stage_append("lineage", lineage),
-        ]
-        if cfg.use_bloom:
-            tasks.append(lambda: self.bloom().add_hashes_df(new_seen))
-        with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
-            list(ex.map(lambda f: f(), tasks))
         if cfg.use_bloom:
             self._save_bloom()
-        tk("stage_writes")
+        tk("bloom_save")
 
         wall_ms = int((time.time() - t0) * 1000)
         store.stage_append_rows(

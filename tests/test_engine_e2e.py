@@ -123,6 +123,28 @@ def test_no_broadcast_hint_identical(spark, fixtures, fixture_paths,
     assert crawled == oracle_result.crawled
 
 
+def test_crossover_gates_identical(spark, fixtures, fixture_paths,
+                                   tmp_path, oracle_result):
+    """Round-5 crossover knobs: forcing the big-scale plans at tiny scale
+    (broadcast_min_frontier=0 -> every round broadcasts host state;
+    bloom_filter_min_seen=0 -> the membership-UDF prefilter engages from
+    round 1) produces the identical trace / seen set / crawled corpus as
+    the defaults, which skip both below their thresholds. The two knobs
+    pick plans, never results."""
+    pages, meta, robots, seeds = load_inputs(spark, fixture_paths)
+    cfg = CrawlConfig(
+        broadcast_min_frontier=0,
+        bloom_filter_min_seen=0,
+        filters=FilterConfig(banned_hosts=fixtures["banned_hosts"]),
+    )
+    store = SnapshotStore(str(tmp_path / "xgate"))
+    CrawlEngine(spark, store, pages, meta, robots, cfg).run(seeds)
+    trace, seen, crawled = _collect(spark, store)
+    assert trace == oracle_result.trace
+    assert seen == oracle_result.seen
+    assert crawled == oracle_result.crawled
+
+
 def test_resume_identical_ordering(spark, fixtures, fixture_paths, tmp_path,
                                    oracle_result):
     """Kill after round 2, restart from the snapshot, full trace identical."""
