@@ -5,6 +5,8 @@ kernels are STUBS (deterministic fakes clearly marked), but the Spark-side
 plumbing is real and tested: schema, Arrow batch shape, mapInPandas
 signatures, partitioning. Swapping a stub for PIL/torchaudio is a one-line
 change inside the UDF body.
+(Re-verified round 5, 2026-08-21: ``import PIL`` still raises
+ModuleNotFoundError in this container; the stubs stay, clearly marked.)
 """
 
 from __future__ import annotations

@@ -14,6 +14,9 @@ exactly the two properties the engine needs from Iceberg:
 On a real cluster, swap this class for an Iceberg catalog: stage_append ->
 ``df.writeTo(tbl).append()``, stage_overwrite -> ``.overwritePartitions()``,
 commit -> Iceberg's own snapshot commit; the engine code is unchanged.
+(Re-verified round 5, 2026-08-21: the sandbox's pyspark 4.1.2 still ships
+no Iceberg runtime jar and has no network to fetch one — the swap-in
+mapping above remains the build plan the moment a catalog jar appears.)
 
 Layout::
 
