@@ -207,8 +207,19 @@ def round_params(spark: SparkSession, round_no: int) -> DataFrame:
     measured at ~185 compiles x ~6.5 ms = 20-25% of every small round.
     Joining the scalar in as a broadcast column keeps the generated source
     byte-identical across rounds (codegen cache hits); only the broadcast
-    DATA varies. bench/profile_round.py reports compiles/round."""
-    return spark.createDataFrame([(round_no,)], "p_round int")
+    DATA varies. bench/profile_round.py reports compiles/round.
+
+    Built via ``spark.range`` rather than ``createDataFrame``: the latter
+    parallelizes a PYTHON-pickled row over default-parallelism slices, so
+    its broadcast build ran 32 tasks each paying a ~55 ms Python-worker
+    round-trip with zero input — measured at ~1.7 s of executor time at
+    the head of EVERY round (round-5 stage census, the single largest
+    anonymous stage). range() is pure JVM, one task, no Python anywhere;
+    the round number rides as range data (start=round_no), never as a
+    codegen literal in the data-plane stages."""
+    return spark.range(round_no, round_no + 1).select(
+        F.col("id").cast("int").alias("p_round")
+    )
 
 
 def with_round(df: DataFrame, params: DataFrame) -> DataFrame:
