@@ -257,8 +257,14 @@ def assign_cells(
             (F.array_position(arr, F.array_max(arr)) - 1).cast("int"),
         )
     spark = d.sparkSession
+    # one-slice parallelize: the default createDataFrame would pickle the
+    # k rows over default-parallelism slices, paying ~32 empty
+    # Python-worker round-trips per evaluation (same pathology as
+    # engine.round_params, round-5 census)
     centroids = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
+        spark.sparkContext.parallelize(
+            [(i, list(map(float, c))) for i, c in enumerate(cents)], 1
+        ),
         "cell int, centroid array<double>",
     )
     cos = F.coalesce(
@@ -358,8 +364,14 @@ def ivf_topk_kmeans(df: DataFrame, qvec: list[float], k: int = 10,
     )
     d = assign_cells(d, cents, id_col=id_col)
     spark = df.sparkSession
+    # one-slice parallelize: the default createDataFrame would pickle the
+    # k rows over default-parallelism slices, paying ~32 empty
+    # Python-worker round-trips per evaluation (same pathology as
+    # engine.round_params, round-5 census)
     centroids = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
+        spark.sparkContext.parallelize(
+            [(i, list(map(float, c))) for i, c in enumerate(cents)], 1
+        ),
         "cell int, centroid array<double>",
     )
     q = F.array(*[F.lit(float(x)) for x in qvec])
@@ -524,8 +536,14 @@ def ann_join_topk(
     )
     d = assign_cells(d, cents, id_col="vec_id")
     spark = corpus.sparkSession
+    # one-slice parallelize: the default createDataFrame would pickle the
+    # k rows over default-parallelism slices, paying ~32 empty
+    # Python-worker round-trips per evaluation (same pathology as
+    # engine.round_params, round-5 census)
     centroids = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
+        spark.sparkContext.parallelize(
+            [(i, list(map(float, c))) for i, c in enumerate(cents)], 1
+        ),
         "cell int, centroid array<double>",
     )
     q = queries.select(
